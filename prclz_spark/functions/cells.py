@@ -1,0 +1,164 @@
+"""Hierarchical integer cell index (H3/S2-style, quadtree realization).
+
+The reference prunes spatial candidates with an in-memory rtree
+(/root/reference/prclz/topology.py:487-492 and geopandas.sjoin internals);
+that does not distribute. Here every geometry gets a deterministic integer
+*cell id* at resolution ``res`` and spatial joins become equi-joins on the
+cell id — Catalyst shuffles/broadcasts them like any other join key, AQE
+splits skewed cells, and cell-prefix range partitioning co-locates
+neighborhoods (north_star: "batched H3 (res 7-11) and S2 cell encoding").
+
+The encoding is a plain lat/lon quadtree (column-major grid at 2^res x
+2^res), deliberately reproducible in ANSI SQL with floor arithmetic so the
+DuckDB oracle can recompute it:
+
+    nx  = 2^res
+    cx  = clamp(floor((lon + 180) / 360 * nx), 0, nx-1)
+    cy  = clamp(floor((lat +  90) / 180 * nx), 0, nx-1)
+    id  = res * 4^26  +  cx * 2^26  +  cy          (res <= 15, grid <= 2^26)
+
+Cell ids at different resolutions never collide (res is in the high bits).
+``kring`` (H3's k-ring analog) is the (2k+1)^2 neighbor block, used by the
+kNN join's expanding-ring candidate search — the distributed analog of the
+reference's buffer-growing search (reblock/i_topology.py:377-394,
+BUF_EPS=1e-4, BUF_RATE=2).
+
+Everything here is either a JVM-side Column expression (whole-stage
+codegen, no Python in the hot path) or a numpy helper for driver-side
+dimension prep (polygon covers of the small blocks table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_BITS_SHIFT = 2 ** 52  # res * 4^26
+XY_SHIFT = 2 ** 26
+MAX_RES = 26  # grid up to 2^26 per axis; ids stay < 2^63
+
+# AOI bbox used by the synthetic city (sources.synth); kept here because
+# operators size resolutions off it.
+LON_MIN, LON_MAX = -180.0, 180.0
+LAT_MIN, LAT_MAX = -90.0, 90.0
+
+
+def _nx(res: int) -> int:
+    return 1 << res
+
+
+# ---------------------------------------------------------------------------
+# Column-expression forms (JVM-side, codegen; identical arithmetic in the
+# DuckDB oracle SQL)
+# ---------------------------------------------------------------------------
+
+def cell_x(lon: Column, res: int) -> Column:
+    nx = _nx(res)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx)))
+    return F.greatest(F.lit(0), F.least(F.lit(nx - 1), raw)).cast("long")
+
+
+def cell_y(lat: Column, res: int) -> Column:
+    nx = _nx(res)
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nx)))
+    return F.greatest(F.lit(0), F.least(F.lit(nx - 1), raw)).cast("long")
+
+
+def cell_id(lon: Column, lat: Column, res: int) -> Column:
+    """Cell id column for point (lon, lat) at ``res``. Pure arithmetic."""
+    assert 0 <= res <= MAX_RES
+    return (
+        F.lit(res * RES_BITS_SHIFT)
+        + cell_x(lon, res) * F.lit(XY_SHIFT)
+        + cell_y(lat, res)
+    ).cast("long")
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The same cell id as ANSI SQL text (for DuckDB oracles)."""
+    nx = _nx(res)
+    cx = (
+        f"greatest(0, least({nx - 1}, "
+        f"cast(floor(({lon_expr} + 180.0) / 360.0 * {nx}.0) as bigint)))"
+    )
+    cy = (
+        f"greatest(0, least({nx - 1}, "
+        f"cast(floor(({lat_expr} + 90.0) / 180.0 * {nx}.0) as bigint)))"
+    )
+    return f"(cast({res * RES_BITS_SHIFT} as bigint) + {cx} * {XY_SHIFT} + {cy})"
+
+
+def cell_prefix(cell: Column, res: int, prefix_res: int) -> Column:
+    """Coarsen a cell id to ``prefix_res`` (for repartitionByRange on cell
+    prefix, north_rule). Parent cell = floor-divide each axis."""
+    assert prefix_res <= res
+    shift = 1 << (res - prefix_res)
+    cx = ((cell - F.lit(res * RES_BITS_SHIFT)) / F.lit(XY_SHIFT)).cast("long")
+    cy = (cell - F.lit(res * RES_BITS_SHIFT)) % F.lit(XY_SHIFT)
+    return (
+        F.lit(prefix_res * RES_BITS_SHIFT)
+        + (cx / F.lit(shift)).cast("long") * F.lit(XY_SHIFT)
+        + (cy / F.lit(shift)).cast("long")
+    ).cast("long")
+
+
+def kring_cells(lon: Column, lat: Column, res: int, k: int) -> Column:
+    """Array column of the (2k+1)^2 cells within Chebyshev distance k of the
+    point's cell (clamped at the grid edge, distinct). H3 kRing analog."""
+    nx = _nx(res)
+    cx, cy = cell_x(lon, res), cell_y(lat, res)
+    cells = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            ncx = F.greatest(F.lit(0), F.least(F.lit(nx - 1), cx + F.lit(dx)))
+            ncy = F.greatest(F.lit(0), F.least(F.lit(nx - 1), cy + F.lit(dy)))
+            cells.append(
+                F.lit(res * RES_BITS_SHIFT) + ncx * F.lit(XY_SHIFT) + ncy
+            )
+    return F.array_distinct(F.array(*cells))
+
+
+# ---------------------------------------------------------------------------
+# numpy forms (dimension prep / kernels / oracles)
+# ---------------------------------------------------------------------------
+
+def cell_id_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    nx = _nx(res)
+    cx = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0, nx - 1).astype(np.int64)
+    cy = np.clip(np.floor((lat + 90.0) / 180.0 * nx), 0, nx - 1).astype(np.int64)
+    return res * RES_BITS_SHIFT + cx * XY_SHIFT + cy
+
+
+def cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of a cell."""
+    res = int(cell // RES_BITS_SHIFT)
+    nx = _nx(res)
+    rem = cell - res * RES_BITS_SHIFT
+    cx, cy = int(rem // XY_SHIFT), int(rem % XY_SHIFT)
+    w, h = 360.0 / nx, 180.0 / nx
+    return (-180.0 + cx * w, -90.0 + cy * h, -180.0 + (cx + 1) * w, -90.0 + (cy + 1) * h)
+
+
+def cover_cells(ring: np.ndarray, res: int) -> np.ndarray:
+    """Cells whose rectangle intersects the polygon ``ring`` ((n,2) lon/lat,
+    closed or open). Exact bbox scan + rectangle/polygon intersection test;
+    used to explode the (small) polygon dimension side of spatial joins
+    (SURVEY.md §2.3 J1: "polygon's covering cell set, exploded")."""
+    from . import geom  # local import to avoid cycle
+
+    nx = _nx(res)
+    lon0, lat0 = ring[:, 0].min(), ring[:, 1].min()
+    lon1, lat1 = ring[:, 0].max(), ring[:, 1].max()
+    x0 = int(np.clip(np.floor((lon0 + 180.0) / 360.0 * nx), 0, nx - 1))
+    x1 = int(np.clip(np.floor((lon1 + 180.0) / 360.0 * nx), 0, nx - 1))
+    y0 = int(np.clip(np.floor((lat0 + 90.0) / 180.0 * nx), 0, nx - 1))
+    y1 = int(np.clip(np.floor((lat1 + 90.0) / 180.0 * nx), 0, nx - 1))
+    w, h = 360.0 / nx, 180.0 / nx
+    out = []
+    for cx in range(x0, x1 + 1):
+        for cy in range(y0, y1 + 1):
+            rx0, ry0 = -180.0 + cx * w, -90.0 + cy * h
+            if geom.rect_intersects_polygon(rx0, ry0, rx0 + w, ry0 + h, ring):
+                out.append(res * RES_BITS_SHIFT + cx * XY_SHIFT + cy)
+    return np.asarray(out, dtype=np.int64)

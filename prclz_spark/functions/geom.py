@@ -1,0 +1,349 @@
+"""Pure-numpy planar geometry kernels.
+
+The reference does all geometry through shapely/geopandas objects
+(/root/reference/prclz/topology.py, prclz/blocks/methods.py); neither is
+available here and per-row object graphs don't vectorize anyway. These
+kernels operate on numpy arrays and run inside Arrow pandas UDFs — the
+batch is the unit of work, never the row (input_hint: "no per-row Python").
+
+Conventions: a *ring* is an (n,2) float64 array of [x, y] vertices, open
+(first vertex NOT repeated) unless noted; a *segment set* is (m,2,2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+def ring_to_np(val) -> np.ndarray:
+    """Arrow deserializes array<array<double>> as an object ndarray of
+    float ndarrays; np.asarray(..., dtype=float) rejects that. Normalize
+    any list/array-of-pairs value to an (n,2) float64 array."""
+    if isinstance(val, np.ndarray) and val.dtype == object:
+        return np.stack([np.asarray(p, dtype=float) for p in val])
+    return np.asarray(val, dtype=float)
+
+
+# ---------------------------------------------------------------------------
+# point in polygon
+# ---------------------------------------------------------------------------
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: True where (px,py) is strictly inside
+    ``ring``. Replaces gpd.sjoin(op='within') refinement
+    (/root/reference/prclz/utils.py:73). O(n_points * n_vertices) with no
+    Python loop over points."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    px = px[:, None]
+    py = py[:, None]
+    # edge straddles the horizontal ray through py
+    cond = (y0[None, :] > py) != (y1[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (py - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
+            x1[None, :] - x0[None, :]
+        )
+    crossings = (cond & (px < xint)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def point_in_polygon(x: float, y: float, ring: np.ndarray) -> bool:
+    return bool(points_in_polygon(np.array([x]), np.array([y]), ring)[0])
+
+
+# ---------------------------------------------------------------------------
+# segment projection / distance — replicates the reference's Edge methods so
+# tie behavior matches (prclz/topology.py:93-189)
+# ---------------------------------------------------------------------------
+
+def seg_point_distance(
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,
+    px: np.ndarray, py: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For segments (a,b) and points p (broadcastable shapes): distance to
+    the *segment*, and the closest point on it.
+
+    Matches Edge.closest_point_to_node semantics
+    (prclz/topology.py:175-189): project onto the infinite line; accept the
+    projection iff it passes the midpoint-radius on-segment test
+    (node_on_edge, :152-173 — dist(mid, proj) <= |ab|/2); otherwise snap to
+    the nearer endpoint."""
+    abx, aby = bx - ax, by - ay
+    ab2 = abx * abx + aby * aby
+    apx, apy = px - ax, py - ay
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ab2 > 0, (apx * abx + apy * aby) / ab2, 0.0)
+    projx, projy = ax + t * abx, ay + t * aby
+    # reference's on-segment test: distance from midpoint <= half length
+    midx, midy = (ax + bx) / 2.0, (ay + by) / 2.0
+    half = np.sqrt(ab2) / 2.0
+    on_seg = np.hypot(projx - midx, projy - midy) <= half
+    d0 = np.hypot(px - ax, py - ay)
+    d1 = np.hypot(px - bx, py - by)
+    endx = np.where(d0 <= d1, ax, bx)
+    endy = np.where(d0 <= d1, ay, by)
+    cx = np.where(on_seg, projx, endx)
+    cy = np.where(on_seg, projy, endy)
+    dist = np.hypot(px - cx, py - cy)
+    return dist, cx, cy
+
+
+def closest_edge_to_point(segments: np.ndarray, x: float, y: float):
+    """argmin edge for one point over (m,2,2) segments → (idx, dist, cx, cy).
+    The distributed analog feeds candidates from the cell kRing join; this
+    local form is the reference's add_node_to_closest_edge candidate scan
+    (prclz/topology.py:504-534)."""
+    d, cx, cy = seg_point_distance(
+        segments[:, 0, 0], segments[:, 0, 1],
+        segments[:, 1, 0], segments[:, 1, 1],
+        np.full(len(segments), x), np.full(len(segments), y),
+    )
+    i = int(np.argmin(d))
+    return i, float(d[i]), float(cx[i]), float(cy[i])
+
+
+# ---------------------------------------------------------------------------
+# area / centroid / bounds (prclz/topology.py:232-271)
+# ---------------------------------------------------------------------------
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace |area| (Face.area, prclz/topology.py:233-234)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return 0.5 * abs(float(np.sum(x * y1 - x1 * y)))
+
+
+def signed_ring_area2(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y1 - x1 * y))
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Shoelace centroid with the reference's near-zero-area fallback to the
+    vertex mean — |2A| < 0.02 (prclz/topology.py:253-271). The fallback
+    threshold is load-bearing for k-complexity row parity (SURVEY.md §7.3
+    step 5) so it is replicated exactly, including operating on the
+    *distinct sorted* vertex set the Face keeps."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    acc_a2 = float(np.sum(cross))
+    if abs(acc_a2) < 0.02:
+        # Face.nodes is a sorted *set* of nodes — dedupe before averaging
+        uniq = np.unique(ring, axis=0)
+        return float(uniq[:, 0].mean()), float(uniq[:, 1].mean())
+    a6 = 3.0 * acc_a2
+    cx = float(np.sum((x + x1) * cross)) / a6
+    cy = float(np.sum((y + y1) * cross)) / a6
+    return cx, cy
+
+
+def ring_bounds(ring: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(ring[:, 0].min()), float(ring[:, 1].min()),
+        float(ring[:, 0].max()), float(ring[:, 1].max()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# convex hull (Andrew monotone chain) — st_convex_hull / .convex_hull
+# (midway_parcelization.R:50; reblock/i_reblock.py:288)
+# ---------------------------------------------------------------------------
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort is what np.unique gives us already
+    def half(iterable):
+        chain: list[np.ndarray] = []
+        for p in iterable:
+            while len(chain) >= 2:
+                o, a = chain[-2], chain[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    chain.pop()
+                else:
+                    break
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+# ---------------------------------------------------------------------------
+# polygon clipping (Sutherland–Hodgman, convex clipper) — replaces
+# shapely .intersection for the Voronoi-cell-clip (prclz/complexity.py:28)
+# and tile∩parcel weights (process_worldpop.py:225-231)
+# ---------------------------------------------------------------------------
+
+def clip_polygon_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Clip ``subject`` (any simple polygon) against convex ``clipper``.
+    Returns the (possibly empty) clipped ring. Clipper must be CCW."""
+    if signed_ring_area2(clipper) < 0:
+        clipper = clipper[::-1]
+    output = subject
+    m = len(clipper)
+    for i in range(m):
+        if len(output) == 0:
+            return output
+        cx0, cy0 = clipper[i]
+        cx1, cy1 = clipper[(i + 1) % m]
+        ex, ey = cx1 - cx0, cy1 - cy0
+        x, y = output[:, 0], output[:, 1]
+        side = ex * (y - cy0) - ey * (x - cx0)  # >=0 == inside (left of edge)
+        inside = side >= -1e-12
+        nxt = np.roll(np.arange(len(output)), -1)
+        new_pts = []
+        for j in range(len(output)):
+            k = nxt[j]
+            if inside[j]:
+                new_pts.append(output[j])
+                if not inside[k]:
+                    new_pts.append(_line_isect(output[j], output[k], (cx0, cy0), (cx1, cy1)))
+            elif inside[k]:
+                new_pts.append(_line_isect(output[j], output[k], (cx0, cy0), (cx1, cy1)))
+        output = np.asarray(new_pts) if new_pts else np.empty((0, 2))
+    return output
+
+
+def _line_isect(p, q, a, b):
+    px, py = p
+    qx, qy = q
+    ax, ay = a
+    bx, by = b
+    dx1, dy1 = qx - px, qy - py
+    dx2, dy2 = bx - ax, by - ay
+    denom = dx1 * dy2 - dy1 * dx2
+    if abs(denom) < 1e-30:
+        return np.array([qx, qy])
+    t = ((ax - px) * dy2 - (ay - py) * dx2) / denom
+    return np.array([px + t * dx1, py + t * dy1])
+
+
+def clip_polygon_rect(subject: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+    return clip_polygon_convex(subject, rect)
+
+
+def rect_polygon_overlap_area(
+    x0: float, y0: float, x1: float, y1: float, ring: np.ndarray
+) -> float:
+    """|rect ∩ polygon| — the F27 area-weighted allocation kernel
+    (process_worldpop.py:202-238: pct = (cell ∩ block).area / cell.area)."""
+    clipped = clip_polygon_rect(ring, x0, y0, x1, y1)
+    if len(clipped) < 3:
+        return 0.0
+    return ring_area(clipped)
+
+
+def rect_intersects_polygon(
+    x0: float, y0: float, x1: float, y1: float, ring: np.ndarray
+) -> bool:
+    """Exact rectangle/polygon intersection predicate (cell covers)."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    # bbox reject
+    if ring[:, 0].max() < x0 or ring[:, 0].min() > x1:
+        return False
+    if ring[:, 1].max() < y0 or ring[:, 1].min() > y1:
+        return False
+    # any polygon vertex in rect
+    inside_rect = (
+        (ring[:, 0] >= x0) & (ring[:, 0] <= x1)
+        & (ring[:, 1] >= y0) & (ring[:, 1] <= y1)
+    )
+    if inside_rect.any():
+        return True
+    # any rect corner in polygon
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    if points_in_polygon(corners[:, 0], corners[:, 1], ring).any():
+        return True
+    # any edge pair intersects
+    rect_edges = np.array(
+        [[[x0, y0], [x1, y0]], [[x1, y0], [x1, y1]],
+         [[x1, y1], [x0, y1]], [[x0, y1], [x0, y0]]]
+    )
+    poly_edges = np.stack([ring, np.roll(ring, -1, axis=0)], axis=1)
+    for re_ in rect_edges:
+        if segments_intersect_any(re_[0], re_[1], poly_edges):
+            return True
+    return False
+
+
+def segments_intersect_any(p: np.ndarray, q: np.ndarray, segs: np.ndarray) -> bool:
+    """True if segment pq intersects any of (m,2,2) ``segs`` (proper or
+    touching), vectorized orientation tests."""
+    a, b = segs[:, 0], segs[:, 1]
+
+    def orient(o, d, pts):
+        return (d[..., 0] - o[..., 0]) * (pts[..., 1] - o[..., 1]) - (
+            d[..., 1] - o[..., 1]
+        ) * (pts[..., 0] - o[..., 0])
+
+    d1 = orient(p[None, :], q[None, :], a)
+    d2 = orient(p[None, :], q[None, :], b)
+    d3 = orient(a, b, np.broadcast_to(p, a.shape))
+    d4 = orient(a, b, np.broadcast_to(q, a.shape))
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    if proper.any():
+        return True
+
+    def on_seg(o, d, pts, dv):
+        return (
+            (np.abs(dv) < 1e-12)
+            & (pts[..., 0] >= np.minimum(o[..., 0], d[..., 0]) - 1e-12)
+            & (pts[..., 0] <= np.maximum(o[..., 0], d[..., 0]) + 1e-12)
+            & (pts[..., 1] >= np.minimum(o[..., 1], d[..., 1]) - 1e-12)
+            & (pts[..., 1] <= np.maximum(o[..., 1], d[..., 1]) + 1e-12)
+        )
+
+    touch = (
+        on_seg(p[None, :], q[None, :], a, d1)
+        | on_seg(p[None, :], q[None, :], b, d2)
+        | on_seg(a, b, np.broadcast_to(p, a.shape), d3)
+        | on_seg(a, b, np.broadcast_to(q, a.shape), d4)
+    )
+    return bool(touch.any())
+
+
+# ---------------------------------------------------------------------------
+# densify / distances / projections
+# ---------------------------------------------------------------------------
+
+def segmentize(line: np.ndarray, max_dist: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_dist (st_segmentize,
+    midway_parcelization.R:62)."""
+    out = [line[0]]
+    for i in range(1, len(line)):
+        a, b = line[i - 1], line[i]
+        d = float(np.hypot(*(b - a)))
+        n = max(1, int(np.ceil(d / max_dist)))
+        for j in range(1, n + 1):
+            out.append(a + (b - a) * (j / n))
+    return np.asarray(out)
+
+
+EARTH_RADIUS_M = 6_371_009.0
+
+
+def haversine_m(lon0, lat0, lon1, lat1):
+    """Geodesic meters (replaces geopy.distance,
+    reblock/i_topology.py:50-55). Vectorized."""
+    rl0, rl1 = np.radians(lat0), np.radians(lat1)
+    dlat = rl1 - rl0
+    dlon = np.radians(lon1) - np.radians(lon0)
+    a = np.sin(dlat / 2) ** 2 + np.cos(rl0) * np.cos(rl1) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def mercator_xy(lon, lat):
+    """EPSG:3395-style forward projection for km² areas
+    (process_worldpop.py:114,141,166)."""
+    R = 6_378_137.0
+    x = R * np.radians(lon)
+    y = R * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y

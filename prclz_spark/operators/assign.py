@@ -1,0 +1,226 @@
+"""Spatial-join operators: point-in-polygon assignment, largest-overlap,
+with explicit skew handling.
+
+The reference's workhorse is ``gpd.sjoin(points, polygons, op='within')``
+(/root/reference/prclz/utils.py:73, reblock/i_topology_utils.py:147) — an
+in-memory rtree. The distributed re-expression (SURVEY.md §2.3 J1) is a
+**two-stage join**:
+
+1. *cell equi-join prefilter* — every point gets its integer cell id
+   (JVM-side arithmetic, ``functions.cells``); every polygon is exploded to
+   its covering cell set. The join on ``cell`` is a plain equi-join
+   Catalyst can broadcast (small dim) or shuffle (large dim, AQE
+   skew-split).
+2. *exact refine* — surviving (point, polygon) candidates pass through an
+   Arrow-vectorized ray-cast PIP kernel, batched per polygon so each
+   polygon's ring is converted to numpy once per batch, not per row.
+
+Skew: dense urban cells concentrate candidates. Three levers, all explicit:
+``res`` (smaller cells spread hot spots), optional *salting* (replicate the
+polygon side k ways, point side picks a deterministic salt — the
+north_rule's "salted two-stage join"), and AQE skew-join splitting which is
+on by default (session.py).
+
+At 10^12 rows the point side is never shuffled for the broadcast variant —
+the only wide exchange is the final aggregation, and
+``repartitionByRange(cell_prefix)`` co-locates neighborhoods for
+downstream stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import cells, geom
+
+RING_TYPE = T.ArrayType(T.ArrayType(T.DoubleType()))
+
+
+# ---------------------------------------------------------------------------
+# polygon cover dimension
+# ---------------------------------------------------------------------------
+
+def block_cover_pdf(blocks_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Explode (block_id, geometry ring) → (cell, block_id, geometry): one
+    row per covering cell. Driver-side for the small dimension path."""
+    rows = []
+    for r in blocks_pdf.itertuples(index=False):
+        ring = geom.ring_to_np(r.geometry)
+        for c in cells.cover_cells(ring, res):
+            rows.append({"cell": int(c), "block_id": r.block_id, "geometry": r.geometry})
+    return pd.DataFrame(rows)
+
+
+def block_cover_df(spark: SparkSession, blocks: DataFrame, res: int) -> DataFrame:
+    """Distributed cover explode for large polygon tables (mapInPandas —
+    no driver materialization)."""
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("block_id", T.StringType()),
+            T.StructField("geometry", RING_TYPE),
+        ]
+    )
+
+    def explode_covers(batches):
+        for pdf in batches:
+            yield block_cover_pdf(pdf, res)
+
+    return blocks.mapInPandas(explode_covers, schema)
+
+
+# ---------------------------------------------------------------------------
+# PIP refine kernel
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.BooleanType())
+def _pip_udf(lon: pd.Series, lat: pd.Series, block_id: pd.Series, ring: pd.Series) -> pd.Series:
+    """Batched PIP: group by block_id so each ring hits numpy once per
+    batch; then one vectorized ray-cast per polygon over all its points."""
+    out = np.zeros(len(lon), dtype=bool)
+    lon_v, lat_v = lon.to_numpy(), lat.to_numpy()
+    for bid, idx in pd.Series(range(len(block_id))).groupby(block_id.to_numpy()).groups.items():
+        ii = np.asarray(idx)
+        r = geom.ring_to_np(ring.iloc[ii[0]])
+        out[ii] = geom.points_in_polygon(lon_v[ii], lat_v[ii], r)
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# the operator
+# ---------------------------------------------------------------------------
+
+def assign_points_to_blocks(
+    points: DataFrame,
+    cover: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    how: str = "inner",
+    broadcast_cover: bool = True,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign each point row its containing block_id.
+
+    ``points``: any DataFrame with lon/lat columns. ``cover``: the exploded
+    (cell, block_id, geometry) dimension (block_cover_df/pdf). ``how``:
+    'inner' keeps matched points (sjoin op='within'), 'left' keeps all
+    (sjoin how='left', utils.py:73).
+
+    salt > 0 replicates each cover row ``salt`` ways and routes each point
+    deterministically to one replica — spreads a hot cell across `salt`
+    tasks in the non-broadcast (shuffle-join) path.
+    """
+    pt = points.withColumn("cell", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
+    cov = cover
+    if salt > 0:
+        cov = cov.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pt = pt.withColumn("__salt", F.pmod(F.xxhash64(F.col(lon_col)), F.lit(salt)))
+        join_keys = ["cell", "__salt"]
+    else:
+        join_keys = ["cell"]
+    if broadcast_cover:
+        cov = F.broadcast(cov)
+    cand = pt.join(cov, on=join_keys, how="inner")
+    refined = cand.filter(
+        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("block_id"), F.col("geometry"))
+    ).drop("geometry", "cell", "__salt")
+    if how == "inner":
+        return refined
+    if how == "left":
+        matched = refined.select(*points.columns, "block_id")
+        return points.join(
+            matched.select(points.columns[0], "block_id"), on=points.columns[0], how="left"
+        )
+    raise ValueError(how)
+
+
+def largest_overlap_assign(
+    features: DataFrame,
+    cover: DataFrame,
+    res: int,
+    feature_id: str = "osm_id",
+    geometry_col: str = "geometry",
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """J5 (midway_parcelization.R:116 `st_join(..., largest=TRUE)`): assign
+    each polygonal feature to the block with which it overlaps most.
+    Candidates by cell join on the feature centroid's kRing-1 cells, exact
+    intersection-area kernel, argmax via window row_number — the Spark
+    shape prescribed in SURVEY.md §2.3 J5."""
+    from pyspark.sql import Window
+
+    cen_schema = T.StructType(
+        [
+            T.StructField(feature_id, T.StringType()),
+            T.StructField("geometry", RING_TYPE),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+
+    def centroids(batches):
+        for pdf in batches:
+            lons, lats = [], []
+            for g in pdf[geometry_col]:
+                ring = geom.ring_to_np(g)
+                cx, cy = geom.ring_centroid(ring)
+                lons.append(cx)
+                lats.append(cy)
+            yield pd.DataFrame(
+                {
+                    feature_id: pdf[feature_id],
+                    "geometry": pdf[geometry_col],
+                    "lon": lons,
+                    "lat": lats,
+                }
+            )
+
+    feats = features.mapInPandas(centroids, cen_schema)
+    feats = feats.withColumn(
+        "cell", F.explode(cells.kring_cells(F.col("lon"), F.col("lat"), res, 1))
+    )
+    cov = cover.withColumnRenamed("geometry", "block_geometry")
+    if broadcast_cover:
+        cov = F.broadcast(cov)
+    cand = feats.join(cov, on="cell", how="inner")
+
+    @pandas_udf(T.DoubleType())
+    def overlap_area(feat_geom: pd.Series, block_geom: pd.Series) -> pd.Series:
+        out = np.zeros(len(feat_geom))
+        for i in range(len(feat_geom)):
+            fring = geom.ring_to_np(feat_geom.iloc[i])
+            bring = geom.ring_to_np(block_geom.iloc[i])
+            clipped = geom.clip_polygon_convex(bring, fring)
+            out[i] = geom.ring_area(clipped) if len(clipped) >= 3 else 0.0
+        return pd.Series(out)
+
+    scored = cand.withColumn(
+        "overlap", overlap_area(F.col("geometry"), F.col("block_geometry"))
+    ).filter(F.col("overlap") > 0)
+    w = Window.partitionBy(feature_id).orderBy(F.desc("overlap"), F.asc("block_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(feature_id, "block_id", "overlap")
+    )
+
+
+def repartition_by_cell_prefix(
+    df: DataFrame, res: int, prefix_res: int, num_partitions: int | None = None,
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """north_rule: 'explicit repartitionByRange on cell prefix' — co-locate
+    whole neighborhoods so downstream per-block stages shuffle nothing."""
+    pref = cells.cell_prefix(cells.cell_id(F.col(lon_col), F.col(lat_col), res), res, prefix_res)
+    df = df.withColumn("cell_prefix", pref)
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, "cell_prefix")
+    return df.repartitionByRange("cell_prefix")

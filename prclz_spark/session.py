@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Defaults chosen for the sandbox (local[32], 128 GiB); on a real cluster the
+same settings apply per-executor. AQE is on so skewed cell joins get
+runtime-split (SURVEY.md §4); Arrow is on for every pandas UDF kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "prclz_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("PRCLZ_SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions
+            or os.environ.get("PRCLZ_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # runtime re-planning: skew-join split + partition coalescing
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # every Python kernel is an Arrow-batched pandas UDF
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # broadcast dimension tables (blocks/parcels) aggressively
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("PRCLZ_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
