@@ -1,0 +1,787 @@
+"""Driver contract: named queries (Spark DataFrame programs using the
+engine's operators) paired with ANSI-SQL oracles DuckDB can run on the
+same parquet tables.
+
+Design rules that make the side-by-side hash comparison deterministic:
+
+- every computed column is aliased identically on both sides;
+- money/metric sums go through exact decimal accumulation, then ONE cast
+  to double (identical IEEE value both engines);
+- remaining doubles are produced by the *same expression tree* on both
+  sides (same literals, same op order) so IEEE arithmetic agrees bit-wise;
+- derived geo positions use integer arithmetic (sources.synth) with a
+  +0.5 offset so no point sits on a cell/block boundary;
+- string hashing uses md5 (available in both engines).
+
+Spatial queries run the real operators (two-stage PIP join, kNN kRing
+join, tiling) — the SQL oracle is an independent closed-form restatement
+valid for the rectilinear fixture geometry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import cells
+from .operators import assign, knn, tiles
+from .sources import synth
+
+# ---------------------------------------------------------------------------
+# fixture plumbing
+# ---------------------------------------------------------------------------
+
+GRID_G = 7  # 7x7 grid: prime → block boundaries never align with u=k/7
+CELL_RES = 12
+KNN_RES = 14
+PIP_RES = 14
+TILE_T = 2
+TILE_FOOT = 0.002
+OVL_SIDE = 0.003  # largest-overlap feature square side
+
+_IMAGES_N = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+# contract.py sits in prclz_spark/ → repo root is dirname(dirname(__file__))
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def images_parquet_path(sf_dir: str) -> str:
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_DATA_DIR, f"images_{sfname}.parquet")
+
+
+def ensure_images(sf_dir: str) -> str:
+    """Write the deterministic images fixture next to the repo so both
+    Spark and the DuckDB oracle read the same file."""
+    path = images_parquet_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(_DATA_DIR, exist_ok=True)
+        sfname = os.path.basename(os.path.normpath(sf_dir))
+        n = _IMAGES_N.get(sfname, 2000)
+        tmp = path + ".tmp"
+        synth.write_images_parquet(tmp, n)
+        os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_images(sf_dir))
+
+
+def _img_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir).select(
+        "image_id", synth.image_id_num(F.col("image_id")).alias("idnum")
+    )
+    lon, lat = synth.lonlat_cols(F.col("idnum"))
+    return img.withColumn("lon", lon).withColumn("lat", lat).drop("idnum")
+
+
+def _img_points_sql(sf_dir: str) -> str:
+    lon, lat = synth.lonlat_sql("cast(substring(image_id, 5, 9) as bigint)")
+    return (
+        f"select image_id, {lon} as lon, {lat} as lat "
+        f"from read_parquet('{images_parquet_path(sf_dir)}')"
+    )
+
+
+STEP = synth.AOI_SPAN / GRID_G
+
+
+def _grid_cover(spark: SparkSession):
+    blocks_pdf = synth.grid_blocks(GRID_G)
+    return spark.createDataFrame(assign.block_cover_pdf(blocks_pdf, PIP_RES))
+
+
+def _grid_bounds(spark: SparkSession):
+    blocks_pdf = synth.grid_blocks(GRID_G).copy()
+    b = blocks_pdf
+    b["bx0"] = [min(p[0] for p in g) for g in b.geometry]
+    b["by0"] = [min(p[1] for p in g) for g in b.geometry]
+    b["bx1"] = [max(p[0] for p in g) for g in b.geometry]
+    b["by1"] = [max(p[1] for p in g) for g in b.geometry]
+    return spark.createDataFrame(b[["block_id", "bx0", "by0", "bx1", "by1"]])
+
+
+def _grid_block_sql() -> str:
+    """block_id of the grid block containing (lon, lat): closed-form floor
+    arithmetic — valid because fixture blocks form an axis-aligned grid."""
+    gx = f"cast(floor((lon - {synth.AOI_LON0}) / {STEP!r}) as bigint)"
+    gy = f"cast(floor((lat - {synth.AOI_LAT0}) / {STEP!r}) as bigint)"
+    return f"concat('city_', cast({gy} * {GRID_G} + {gx} as varchar))"
+
+
+# ===========================================================================
+# query registry: name -> (spark_fn, oracle_sql or None)
+# ===========================================================================
+
+def _q_spatial_cell_assign(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon, lat = synth.lonlat_cols(F.col("event_id"))
+    pts = ev.withColumn("lon", lon).withColumn("lat", lat)
+    return (
+        pts.withColumn("cell", cells.cell_id(F.col("lon"), F.col("lat"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _sql_spatial_cell_assign(sf_dir):
+    lon, lat = synth.lonlat_sql("event_id")
+    cell = cells.cell_id_sql("lon", "lat", CELL_RES)
+    return f"""
+        with pts as (select event_id, {lon} as lon, {lat} as lat from events)
+        select {cell} as cell, count(*) as n_points from pts group by 1
+    """
+
+
+def _q_spatial_pip_assign(spark, sf_dir):
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    return assigned.groupBy("block_id").agg(F.count("*").alias("n_images"))
+
+
+def _sql_spatial_pip_assign(sf_dir):
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select {_grid_block_sql()} as block_id, count(*) as n_images
+        from pts group by 1
+    """
+
+
+def _q_spatial_knn(spark, sf_dir):
+    pts = _img_points(spark, sf_dir)
+    g = GRID_G
+    centers = synth.grid_blocks(g).copy()
+    centers["tx"] = [sum(p[0] for p in r) / 4.0 for r in centers.geometry]
+    centers["ty"] = [sum(p[1] for p in r) / 4.0 for r in centers.geometry]
+    tgt = spark.createDataFrame(
+        centers[["block_id", "tx", "ty"]].rename(columns={"block_id": "target_id"})
+    )
+    out = knn.knn_join(pts, tgt, KNN_RES, target_id="target_id")
+    return out.select(
+        "image_id",
+        F.col("target_id").alias("block_id"),
+        F.round(F.col("nn_dist"), 9).alias("dist_r9"),
+    )
+
+
+def _sql_spatial_knn(sf_dir):
+    # nearest grid-center == center of the containing block (uniform grid)
+    gx = f"cast(floor((lon - {synth.AOI_LON0}) / {STEP!r}) as bigint)"
+    gy = f"cast(floor((lat - {synth.AOI_LAT0}) / {STEP!r}) as bigint)"
+    cx = f"({synth.AOI_LON0} + (({gx}) + 0.5) * {STEP!r})"
+    cy = f"({synth.AOI_LAT0} + (({gy}) + 0.5) * {STEP!r})"
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select image_id,
+               concat('city_', cast({gy} * {GRID_G} + {gx} as varchar)) as block_id,
+               round(sqrt((lon - {cx}) * (lon - {cx}) + (lat - {cy}) * (lat - {cy})), 9) as dist_r9
+        from pts
+    """
+
+
+def _q_spatial_tiles(spark, sf_dir):
+    pts = _img_points(spark, sf_dir)
+    out = tiles.tile_membership_rect(
+        pts, _grid_bounds(spark), t=TILE_T, footprint=TILE_FOOT
+    )
+    return out.select(
+        "image_id", "tile_row", "tile_col", "block_id",
+        F.round(F.col("weight"), 9).alias("weight_r9"),
+    )
+
+
+def _sql_spatial_tiles(sf_dir):
+    half = TILE_FOOT / 2.0
+    tile = TILE_FOOT / TILE_T
+    ta = tile * tile
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)}),
+        tiles as (
+          select image_id,
+                 (idx // {TILE_T}) as tile_row,
+                 idx % {TILE_T} as tile_col,
+                 lon - {half!r} + (idx % {TILE_T}) * {tile!r} as tx0,
+                 lat - {half!r} + (idx // {TILE_T}) * {tile!r} as ty0
+          from pts, (select unnest(range(0, {TILE_T * TILE_T})) as idx)
+        ),
+        blocks as (
+          select concat('city_', cast(gy * {GRID_G} + gx as varchar)) as block_id,
+                 {synth.AOI_LON0} + gx * {STEP!r} as bx0,
+                 {synth.AOI_LAT0} + gy * {STEP!r} as by0,
+                 {synth.AOI_LON0} + (gx + 1) * {STEP!r} as bx1,
+                 {synth.AOI_LAT0} + (gy + 1) * {STEP!r} as by1
+          from (select unnest(range(0, {GRID_G})) as gx),
+               (select unnest(range(0, {GRID_G})) as gy)
+        )
+        select image_id, tile_row, tile_col, block_id,
+               round((least(tx0 + {tile!r}, bx1) - greatest(tx0, bx0))
+                   * (least(ty0 + {tile!r}, by1) - greatest(ty0, by0)) / {ta!r}, 9)
+                 as weight_r9
+        from tiles join blocks
+          on tx0 < bx1 and tx0 + {tile!r} > bx0
+         and ty0 < by1 and ty0 + {tile!r} > by0
+    """
+
+
+def _q_rel_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _sql_rel_pricing_summary(sf_dir):
+    return """
+        select l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+               cast(sum(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double)
+                 as sum_disc_price,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= date '1998-09-02'
+        group by l_returnflag, l_linestatus
+    """
+
+
+def _q_rel_topn_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+    )
+
+
+def _sql_rel_topn_orders(sf_dir):
+    return """
+        select o_orderpriority, o_orderkey, rn from (
+          select o_orderpriority, o_orderkey,
+                 row_number() over (partition by o_orderpriority
+                                    order by o_totalprice desc, o_orderkey asc) as rn
+          from orders) where rn <= 3
+    """
+
+
+def _q_rel_segment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def _sql_rel_segment_stats(sf_dir):
+    return """
+        select c_mktsegment,
+               count(*) as n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+               count(distinct c_custkey) as n_customers
+        from orders join customer on o_custkey = c_custkey
+        group by c_mktsegment
+    """
+
+
+def _q_rel_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def _sql_rel_anti_join(sf_dir):
+    return """
+        select c_custkey, c_nationkey from customer
+        where c_custkey not in (select o_custkey from orders)
+    """
+
+
+def _q_rel_semi_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand")
+    )
+
+
+def _sql_rel_semi_join(sf_dir):
+    return """
+        select p_partkey, p_brand from part
+        where exists (select 1 from lineitem
+                      where l_partkey = p_partkey and l_quantity >= 49)
+    """
+
+
+def _q_rel_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s)
+
+
+def _sql_rel_set_except(sf_dir):
+    return """
+        select distinct c_nationkey as nationkey from customer
+        except
+        select distinct s_nationkey as nationkey from supplier
+    """
+
+
+def _q_rel_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_r6"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_r6"),
+        F.count("*").alias("n"),
+    )
+
+
+def _sql_rel_percentiles(sf_dir):
+    return """
+        select event_type,
+               round(cast(quantile_cont(value, 0.5) as double), 6) as p50_r6,
+               round(cast(quantile_cont(value, 0.95) as double), 6) as p95_r6,
+               count(*) as n
+        from events group by event_type
+    """
+
+
+def _q_rel_minted_ids(spark, sf_dir):
+    # W1 deterministic id minting (midway_blocks.py:37-39 analog):
+    # i-th order within its priority group under an explicit total order
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.col("o_orderpriority"), F.lit("_"),
+            (F.row_number().over(w) - 1).cast("string"),
+        ).alias("minted_id"),
+    )
+
+
+def _sql_rel_minted_ids(sf_dir):
+    return """
+        select o_orderkey,
+               concat(o_orderpriority, '_',
+                      cast(row_number() over (partition by o_orderpriority
+                                              order by o_orderkey) - 1 as varchar)) as minted_id
+        from orders
+    """
+
+
+def _q_evt_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _sql_evt_window_agg(sf_dir):
+    return """
+        select date_trunc('hour', ts) as hour_bucket, event_type,
+               count(*) as n_events,
+               cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+        from events group by 1, 2
+    """
+
+
+def _q_evt_dedup_first(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _sql_evt_dedup_first(sf_dir):
+    return """
+        select user_id, event_type, event_id from (
+          select user_id, event_type, event_id,
+                 row_number() over (partition by user_id, event_type
+                                    order by ts, event_id) as rn
+          from events) where rn = 1
+    """
+
+
+# --- text / dedup over documents -------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _q_txt_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(toks).cast("double"), 6).alias("stop_ratio_r6"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _sql_txt_token_stats(sf_dir):
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        select doc_id,
+               len(string_split(text, ' ')) as n_tokens,
+               len(list_filter(string_split(text, ' '), x -> x in ({sw}))) as n_stopwords,
+               round(cast(len(list_filter(string_split(text, ' '), x -> x in ({sw}))) as double)
+                     / cast(len(string_split(text, ' ')) as double), 6) as stop_ratio_r6,
+               length(text) as n_chars_actual
+        from documents
+    """
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _sql_dedup_exact(sf_dir):
+    return """
+        select md5(text) as text_hash, min(doc_id) as canonical_id,
+               count(*) as n_copies
+        from documents group by 1
+    """
+
+
+_SHINGLE_W = 3  # word 3-grams
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= _SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_W)),
+        ),
+    ).otherwise(F.array())
+    sh_df = (
+        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    )
+    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh_df.alias("x")
+        .join(sh_df.alias("y"), on="sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard_r6",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_r6") >= 0.5)
+        .select("d1", "d2", "jaccard_r6")
+    )
+    return jac
+
+
+def _sql_dedup_jaccard(sf_dir):
+    w = _SHINGLE_W
+    return f"""
+        with sh as (
+          select distinct doc_id, unnest(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - {w - 1}, 0) + 1),
+                   i -> array_to_string((string_split(text,' '))[i:i+{w - 1}], ' '))) as sh
+          from documents
+        ),
+        sizes as (select doc_id, count(*) as sz from sh group by 1),
+        pairs as (
+          select x.doc_id as d1, y.doc_id as d2, count(*) as inter
+          from sh x join sh y using (sh)
+          where x.doc_id < y.doc_id
+          group by 1, 2
+        )
+        select d1, d2,
+               round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) as jaccard_r6
+        from pairs
+        join sizes s1 on s1.doc_id = d1
+        join sizes s2 on s2.doc_id = d2
+        where round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) >= 0.5
+    """
+
+
+_MINHASH_BANDS = 8
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidates: per band b, signature = lexicographic min of
+    md5(b || shingle); docs sharing a band signature are candidates."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= _SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_W)),
+        ),
+    ).otherwise(F.array())
+    sh_df = d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    band = F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1))).alias("band")
+    sigs = (
+        sh_df.select("doc_id", "sh", band)
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh")))).alias("sig"))
+    )
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), on=["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+    return cand
+
+
+def _sql_dedup_minhash(sf_dir):
+    w = _SHINGLE_W
+    return f"""
+        with sh as (
+          select distinct doc_id, unnest(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - {w - 1}, 0) + 1),
+                   i -> array_to_string((string_split(text,' '))[i:i+{w - 1}], ' '))) as sh
+          from documents
+        ),
+        sigs as (
+          select doc_id, band, min(md5(concat(cast(band as varchar), '|', sh))) as sig
+          from sh, (select unnest(range(0, {_MINHASH_BANDS})) as band)
+          group by 1, 2
+        )
+        select x.doc_id as d1, y.doc_id as d2, count(*) as n_bands_shared
+        from sigs x join sigs y using (band, sig)
+        where x.doc_id < y.doc_id
+        group by 1, 2
+    """
+
+
+# --- embeddings / similarity -----------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _q_emb_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = q.crossJoin(F.broadcast(e))
+    sim = _dot(F.col("qv"), F.col("v")) / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("v"), F.col("v"))
+    )
+    scored = cand.filter(F.col("vec_id") != F.col("q_id")).withColumn("sim", sim)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def _sql_emb_topk(sf_dir):
+    return """
+        with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+                   from embeddings),
+        q as (select vec_id as q_id, v as qv from e where vec_id < 10),
+        scored as (
+          select q_id, vec_id,
+                 list_dot_product(qv, v)
+                   / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) as sim
+          from q cross join e
+          where vec_id <> q_id
+        )
+        select q_id, rank, neighbor_id from (
+          select q_id, vec_id as neighbor_id,
+                 row_number() over (partition by q_id order by sim desc, vec_id asc) as rank
+          from scored) where rank <= 5
+    """
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pair = a.crossJoin(F.broadcast(b)).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(
+        _dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))
+    )
+    return (
+        pair.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+        )
+    )
+
+
+def _sql_emb_near_dup(sf_dir):
+    return """
+        with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+                   from embeddings)
+        select a.vec_id as v1, b.vec_id as v2
+        from e a cross join e b
+        where a.vec_id < b.vec_id
+          and list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.95
+    """
+
+
+# --- multimodal (images) ----------------------------------------------------
+
+def _q_img_metadata_stats(spark, sf_dir):
+    img = _images(spark, sf_dir)
+    return img.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("w").cast("long") * F.col("h").cast("long")).alias("total_pixels"),
+        F.count_distinct("phash").alias("n_distinct_phash"),
+    )
+
+
+def _sql_img_metadata_stats(sf_dir):
+    return f"""
+        select fmt, count(*) as n_images,
+               sum(cast(w as bigint) * cast(h as bigint)) as total_pixels,
+               count(distinct phash) as n_distinct_phash
+        from read_parquet('{images_parquet_path(sf_dir)}')
+        group by fmt
+    """
+
+
+def _q_img_tile_stats(spark, sf_dir):
+    """Decode payloads → per-tile mean RGB (no SQL oracle: pixel decode is
+    not SQL-expressible; driver records rows-only check, pytest pins
+    values against the pure-numpy codec)."""
+    img = _images(spark, sf_dir)
+    out = tiles.tile_pixel_stats(img, t=TILE_T)
+    return out.select(
+        "image_id", "tile_row", "tile_col",
+        F.round("mean_r", 6).alias("mean_r_r6"),
+        F.round("mean_g", 6).alias("mean_g_r6"),
+        F.round("mean_b", 6).alias("mean_b_r6"),
+    )
+
+
+# ===========================================================================
+
+REGISTRY: dict[str, tuple] = {
+    # spatial operators (SURVEY.md §2.3 J1/J10, §2.7 F26-F27)
+    "spatial_cell_assign": (_q_spatial_cell_assign, _sql_spatial_cell_assign),
+    "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),
+    "spatial_knn": (_q_spatial_knn, _sql_spatial_knn),
+    "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
+    # relational surface (P/J/A/W/U operator families)
+    "rel_pricing_summary": (_q_rel_pricing_summary, _sql_rel_pricing_summary),
+    "rel_topn_orders": (_q_rel_topn_orders, _sql_rel_topn_orders),
+    "rel_segment_stats": (_q_rel_segment_stats, _sql_rel_segment_stats),
+    "rel_anti_join": (_q_rel_anti_join, _sql_rel_anti_join),
+    "rel_semi_join": (_q_rel_semi_join, _sql_rel_semi_join),
+    "rel_set_except": (_q_rel_set_except, _sql_rel_set_except),
+    "rel_percentiles": (_q_rel_percentiles, _sql_rel_percentiles),
+    "rel_minted_ids": (_q_rel_minted_ids, _sql_rel_minted_ids),
+    # events
+    "evt_window_agg": (_q_evt_window_agg, _sql_evt_window_agg),
+    "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
+    # text / dedup
+    "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
+    "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
+    "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
+    "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),
+    # similarity search
+    "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
+    "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
+    # multimodal
+    "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
+    "img_tile_stats": (_q_img_tile_stats, None),  # rows-only: pixel decode
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    # materialize the sf0.01 fixture now — the oracle may run before any
+    # Spark query touches it
+    ensure_images("/root/testdata/sf0.01")
+    out = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is not None:
+            out[name] = sql("/root/testdata/sf0.01")
+    return out
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: assign sf0.001-derived image points to street blocks via
+    the two-stage spatial join; per-block counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    return assigned.groupBy("block_id").agg(F.count("*").alias("n_images"))

@@ -54,8 +54,10 @@ IMAGES_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 
 def _uv_np(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    u = ((ids * A_U + B_U) % M1) / M1
-    v = ((ids * A_V + B_V) % M1) / M1
+    # +0.5 keeps positions strictly off cell/block boundaries (no exact
+    # floor ties between engines)
+    u = (((ids * A_U + B_U) % M1) + 0.5) / M1
+    v = (((ids * A_V + B_V) % M1) + 0.5) / M1
     return u, v
 
 
@@ -69,8 +71,8 @@ def lonlat_np(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def lonlat_cols(idnum: Column) -> tuple[Column, Column]:
     """Same derivation as JVM-side Column arithmetic (codegen, no UDF)."""
-    u = ((idnum * F.lit(A_U) + F.lit(B_U)) % F.lit(M1)) / F.lit(float(M1))
-    v = ((idnum * F.lit(A_V) + F.lit(B_V)) % F.lit(M1)) / F.lit(float(M1))
+    u = ((idnum * F.lit(A_U) + F.lit(B_U)) % F.lit(M1) + F.lit(0.5)) / F.lit(float(M1))
+    v = ((idnum * F.lit(A_V) + F.lit(B_V)) % F.lit(M1) + F.lit(0.5)) / F.lit(float(M1))
     hot = (idnum % F.lit(HOT_MOD)) < F.lit(HOT_LT)
     lon = F.when(hot, F.lit(HOT_LON0) + u * F.lit(HOT_SPAN)).otherwise(
         F.lit(AOI_LON0) + u * F.lit(AOI_SPAN)
@@ -82,8 +84,8 @@ def lonlat_cols(idnum: Column) -> tuple[Column, Column]:
 
 
 def lonlat_sql(id_expr: str) -> tuple[str, str]:
-    u = f"((({id_expr}) * {A_U} + {B_U}) % {M1}) / {M1}.0"
-    v = f"((({id_expr}) * {A_V} + {B_V}) % {M1}) / {M1}.0"
+    u = f"(((({id_expr}) * {A_U} + {B_U}) % {M1}) + 0.5) / {M1}.0"
+    v = f"(((({id_expr}) * {A_V} + {B_V}) % {M1}) + 0.5) / {M1}.0"
     hot = f"(({id_expr}) % {HOT_MOD}) < {HOT_LT}"
     lon = (
         f"(case when {hot} then {HOT_LON0} + ({u}) * {HOT_SPAN} "

