@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join/tiling throughput + per-query
+wall time for every contract query.
+
+Prints ONE JSON line:
+    {"metric": "images_assigned_per_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    SPARK_GRAFT_BENCH_N  synthetic points for the headline assign
+                         throughput run (default 2_000_000)
+
+The headline metric matches BASELINE.json: images assigned/sec through the
+two-stage (cell equi-join -> Arrow PIP refine) spatial join, measured on a
+JVM-side synthesized point table (no Python in the point-generation path),
+plus the raster<->vector tile-membership operator on the same points.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from prclz_spark import contract  # noqa: E402
+from prclz_spark.operators import assign, tiles  # noqa: E402
+from prclz_spark.session import get_spark  # noqa: E402
+from prclz_spark.sources import synth  # noqa: E402
+
+
+def synth_points(spark, n: int, partitions: int):
+    """n deterministic points, pure Column arithmetic (codegen, no UDF)."""
+    base = spark.range(0, n, numPartitions=partitions)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    return base.select(
+        F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def bench_assign(spark, n: int, partitions: int) -> tuple[float, int]:
+    pts = synth_points(spark, n, partitions)
+    cover = contract._grid_cover(spark)
+    t0 = time.perf_counter()
+    out = assign.assign_points_to_blocks(pts, cover, contract.PIP_RES)
+    n_assigned = out.count()
+    return time.perf_counter() - t0, n_assigned
+
+
+def bench_tiles(spark, n: int, partitions: int) -> tuple[float, int]:
+    pts = synth_points(spark, n, partitions)
+    bounds = contract._grid_bounds(spark)
+    t0 = time.perf_counter()
+    out = tiles.tile_membership_rect(
+        pts, bounds, t=contract.TILE_T, footprint=contract.TILE_FOOT
+    )
+    n_tiles = out.count()
+    return time.perf_counter() - t0, n_tiles
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+
+    spark = get_spark(
+        app_name="prclz_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + Arrow path once (tiny run, not measured)
+    bench_assign(spark, 10_000, 4)
+
+    assign_s, n_assigned = bench_assign(spark, bench_n, cpus * 2)
+    tiles_s, n_tiles = bench_tiles(spark, bench_n, cpus * 2)
+
+    qtimes: dict[str, float] = {}
+    for name, fn in contract.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # never fail the whole bench on one query
+            qtimes[name] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+
+    images_per_sec = n_assigned / assign_s if assign_s > 0 else 0.0
+    print(json.dumps({
+        "metric": "images_assigned_per_sec",
+        "value": round(images_per_sec, 1),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "bench_points": bench_n,
+        "assign_sec": round(assign_s, 3),
+        "assigned_rows": n_assigned,
+        "tile_sec": round(tiles_s, 3),
+        "tile_rows": n_tiles,
+        "tiles_per_sec": round(n_tiles / tiles_s, 1) if tiles_s > 0 else 0.0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import cells
-from .operators import assign, knn, tiles
+from .operators import assign, knn, similarity, tiles
 from .sources import synth
 
 # ---------------------------------------------------------------------------
@@ -37,7 +37,7 @@ from .sources import synth
 GRID_G = 7  # 7x7 grid: prime → block boundaries never align with u=k/7
 CELL_RES = 12
 KNN_RES = 14
-PIP_RES = 14
+PIP_RES = 17  # finer cover ⇒ ~80% interior cells ⇒ PIP refine touches only a boundary sliver
 TILE_T = 2
 TILE_FOOT = 0.002
 OVL_SIDE = 0.003  # largest-overlap feature square side
@@ -95,8 +95,9 @@ STEP = synth.AOI_SPAN / GRID_G
 
 
 def _grid_cover(spark: SparkSession):
-    blocks_pdf = synth.grid_blocks(GRID_G)
-    return spark.createDataFrame(assign.block_cover_pdf(blocks_pdf, PIP_RES))
+    # pandas cover → the operator's small-dimension fast path (interior
+    # cells JVM-only; boundary rings via executor broadcast)
+    return assign.block_cover_pdf(synth.grid_blocks(GRID_G), PIP_RES)
 
 
 def _grid_bounds(spark: SparkSession):
@@ -615,43 +616,25 @@ def _sql_dedup_minhash(sf_dir):
 
 # --- embeddings / similarity -----------------------------------------------
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _q_emb_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
-    )
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), "embedding"
     )
-    cand = q.crossJoin(F.broadcast(e))
-    sim = _dot(F.col("qv"), F.col("v")) / F.sqrt(
-        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("v"), F.col("v"))
-    )
-    scored = cand.filter(F.col("vec_id") != F.col("q_id")).withColumn("sim", sim)
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"))
-    )
+    return similarity.cosine_topk(e, q, k=5)
 
 
 def _sql_emb_topk(sf_dir):
+    # rank on round(sim, 6) like the engine: both engines' sims agree to
+    # ~1e-15, so the rounded keys (and the vec_id tiebreak) coincide
     return """
         with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
                    from embeddings),
         q as (select vec_id as q_id, v as qv from e where vec_id < 10),
         scored as (
           select q_id, vec_id,
-                 list_dot_product(qv, v)
-                   / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) as sim
+                 round(list_dot_product(qv, v)
+                   / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) as sim
           from q cross join e
           where vec_id <> q_id
         )
@@ -663,23 +646,8 @@ def _sql_emb_topk(sf_dir):
 
 
 def _q_emb_near_dup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    pair = a.crossJoin(F.broadcast(b)).filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    sim = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(
-        _dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))
-    )
-    return (
-        pair.withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.95)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-        )
-    )
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(e, threshold=0.42).select("v1", "v2")
 
 
 def _sql_emb_near_dup(sf_dir):
@@ -689,8 +657,28 @@ def _sql_emb_near_dup(sf_dir):
         select a.vec_id as v1, b.vec_id as v2
         from e a cross join e b
         where a.vec_id < b.vec_id
-          and list_dot_product(a.v, b.v)
-              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.95
+          and round(list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.42
+    """
+
+
+_LSH_PLANES = 8
+_EMB_DIM = 64
+
+
+def _q_emb_lsh_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket(e, n_planes=_LSH_PLANES)
+    return out.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _sql_emb_lsh_buckets(sf_dir):
+    b = similarity.lsh_plane_sql("embedding", _LSH_PLANES, _EMB_DIM)
+    return f"""
+        select {b} as bucket, count(*) as n_vecs, min(vec_id) as min_vec_id
+        from embeddings group by 1
     """
 
 
@@ -757,6 +745,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity search
     "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
     "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
+    "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, None),  # rows-only: pixel decode

@@ -140,6 +140,90 @@ def cell_bounds(cell: int) -> tuple[float, float, float, float]:
     return (-180.0 + cx * w, -90.0 + cy * h, -180.0 + (cx + 1) * w, -90.0 + (cy + 1) * h)
 
 
+def cover_cells_classified(ring: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized polygon cover: returns (cells, interior) where ``cells``
+    are the ids of every cell whose rectangle intersects the polygon and
+    ``interior[i]`` is True when the cell lies entirely inside it.
+
+    Method (all numpy, no per-cell Python):
+    - mark *boundary* cells by conservative supercover sampling along each
+      polygon edge (step = 1/4 cell; samples within 0.15 of a grid line
+      also mark the adjacent cell, so corner-clipping chords are never
+      missed — over-marking only widens the boundary band, never breaks
+      cover ⊇ truth / interior ⊆ truth);
+    - one vectorized ray-cast classifies every grid *node* in the bbox;
+    - interior cell  = all 4 corner nodes inside ∧ not boundary;
+      covered cell   = boundary ∨ any corner node inside
+      (a cell with no boundary crossing and no corner inside cannot meet
+      the polygon: it would have to be fully contained, making its corners
+      inside — contradiction)."""
+    from . import geom  # local import to avoid cycle
+
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    nx = _nx(res)
+
+    def to_u(lon):
+        return (lon + 180.0) / 360.0 * nx
+
+    def to_v(lat):
+        return (lat + 90.0) / 180.0 * nx
+
+    u = to_u(ring[:, 0])
+    v = to_v(ring[:, 1])
+    x0 = int(np.clip(np.floor(u.min()), 0, nx - 1))
+    x1 = int(np.clip(np.floor(u.max()), 0, nx - 1))
+    y0 = int(np.clip(np.floor(v.min()), 0, nx - 1))
+    y1 = int(np.clip(np.floor(v.max()), 0, nx - 1))
+    gw, gh = x1 - x0 + 1, y1 - y0 + 1
+
+    # --- boundary cells via supercover sampling ---
+    u2, v2 = np.roll(u, -1), np.roll(v, -1)
+    seg_len = np.maximum(np.abs(u2 - u), np.abs(v2 - v))  # in cell units
+    n_samp = np.maximum(1, np.ceil(seg_len / 0.25).astype(int))
+    us_list, vs_list = [], []
+    for i in range(len(u)):
+        t = np.linspace(0.0, 1.0, n_samp[i] + 1)
+        us_list.append(u[i] + t * (u2[i] - u[i]))
+        vs_list.append(v[i] + t * (v2[i] - v[i]))
+    us = np.concatenate(us_list)
+    vs = np.concatenate(vs_list)
+    iu = np.floor(us).astype(np.int64)
+    iv = np.floor(vs).astype(np.int64)
+    fu, fv = us - iu, vs - iv
+    EPS = 0.15
+    cand_u = [iu]
+    cand_v = [iv]
+    lo_u, hi_u = fu < EPS, fu > 1.0 - EPS
+    lo_v, hi_v = fv < EPS, fv > 1.0 - EPS
+    du = np.where(lo_u, -1, np.where(hi_u, 1, 0))
+    dv = np.where(lo_v, -1, np.where(hi_v, 1, 0))
+    cand_u += [iu + du, iu, iu + du]
+    cand_v += [iv, iv + dv, iv + dv]
+    bu = np.clip(np.concatenate(cand_u), x0, x1)
+    bv = np.clip(np.concatenate(cand_v), y0, y1)
+    boundary = np.zeros((gh, gw), dtype=bool)
+    boundary[bv - y0, bu - x0] = True
+
+    # --- grid-node containment (one vectorized PIP over all nodes) ---
+    node_u = (np.arange(x0, x1 + 2)) * (360.0 / nx) - 180.0
+    node_v = (np.arange(y0, y1 + 2)) * (180.0 / nx) - 90.0
+    NU, NV = np.meshgrid(node_u, node_v)  # (gh+1, gw+1)
+    inside = geom.points_in_polygon(NU.ravel(), NV.ravel(), ring).reshape(NU.shape)
+    c00 = inside[:-1, :-1]
+    c10 = inside[:-1, 1:]
+    c01 = inside[1:, :-1]
+    c11 = inside[1:, 1:]
+    all_in = c00 & c10 & c01 & c11
+    any_in = c00 | c10 | c01 | c11
+
+    covered = boundary | any_in
+    interior = all_in & ~boundary
+    yy, xx = np.nonzero(covered)
+    ids = res * RES_BITS_SHIFT + (xx + x0).astype(np.int64) * XY_SHIFT + (yy + y0)
+    return ids, interior[yy, xx]
+
+
 def cover_cells(ring: np.ndarray, res: int) -> np.ndarray:
     """Cells whose rectangle intersects the polygon ``ring`` ((n,2) lon/lat,
     closed or open). Exact bbox scan + rectangle/polygon intersection test;

@@ -274,6 +274,29 @@ def rect_intersects_polygon(
     return False
 
 
+def rect_within_polygon(
+    x0: float, y0: float, x1: float, y1: float, ring: np.ndarray
+) -> bool:
+    """True iff the rectangle lies entirely inside the (simple) polygon:
+    all four corners strictly inside and no rectangle edge crosses or
+    touches a polygon edge. Used to flag *interior* cover cells — points in
+    interior cells skip the PIP refine entirely (JVM-only equi-join)."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    if not points_in_polygon(corners[:, 0], corners[:, 1], ring).all():
+        return False
+    poly_edges = np.stack([ring, np.roll(ring, -1, axis=0)], axis=1)
+    rect_edges = np.array(
+        [[[x0, y0], [x1, y0]], [[x1, y0], [x1, y1]],
+         [[x1, y1], [x0, y1]], [[x0, y1], [x0, y0]]]
+    )
+    for re_ in rect_edges:
+        if segments_intersect_any(re_[0], re_[1], poly_edges):
+            return False
+    return True
+
+
 def segments_intersect_any(p: np.ndarray, q: np.ndarray, segs: np.ndarray) -> bool:
     """True if segment pq intersects any of (m,2,2) ``segs`` (proper or
     touching), vectorized orientation tests."""

@@ -46,14 +46,27 @@ RING_TYPE = T.ArrayType(T.ArrayType(T.DoubleType()))
 # ---------------------------------------------------------------------------
 
 def block_cover_pdf(blocks_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
-    """Explode (block_id, geometry ring) → (cell, block_id, geometry): one
-    row per covering cell. Driver-side for the small dimension path."""
-    rows = []
+    """Explode (block_id, geometry ring) → (cell, block_id, geometry,
+    interior): one row per covering cell. Driver-side for the small
+    dimension path.
+
+    ``interior`` is True when the cell rectangle lies entirely inside the
+    polygon — points landing there are assigned by the equi-join alone,
+    no exact-PIP refine (the standard covering-with-containment-flag
+    optimization; the reference's rtree gives only a maybe-set, SURVEY.md
+    §2.3 J1). At fine ``res`` the interior share approaches 1 - O(1/√cells)
+    so the Python refine touches only a boundary sliver."""
+    frames = []
     for r in blocks_pdf.itertuples(index=False):
         ring = geom.ring_to_np(r.geometry)
-        for c in cells.cover_cells(ring, res):
-            rows.append({"cell": int(c), "block_id": r.block_id, "geometry": r.geometry})
-    return pd.DataFrame(rows)
+        ids, interior = cells.cover_cells_classified(ring, res)
+        frames.append(pd.DataFrame({
+            "cell": ids,
+            "block_id": r.block_id,
+            "geometry": [r.geometry] * len(ids),
+            "interior": interior,
+        }))
+    return pd.concat(frames, ignore_index=True)
 
 
 def block_cover_df(spark: SparkSession, blocks: DataFrame, res: int) -> DataFrame:
@@ -97,7 +110,7 @@ def _pip_udf(lon: pd.Series, lat: pd.Series, block_id: pd.Series, ring: pd.Serie
 
 def assign_points_to_blocks(
     points: DataFrame,
-    cover: DataFrame,
+    cover,
     res: int,
     lon_col: str = "lon",
     lat_col: str = "lat",
@@ -108,16 +121,87 @@ def assign_points_to_blocks(
     """Assign each point row its containing block_id.
 
     ``points``: any DataFrame with lon/lat columns. ``cover``: the exploded
-    (cell, block_id, geometry) dimension (block_cover_df/pdf). ``how``:
+    (cell, block_id, geometry[, interior]) dimension — a *pandas* DataFrame
+    (block_cover_pdf) takes the small-dimension fast path (no geometry ever
+    crosses Arrow: interior cells resolve JVM-side, boundary rings ride a
+    task broadcast), a Spark DataFrame takes the distributed path. ``how``:
     'inner' keeps matched points (sjoin op='within'), 'left' keeps all
     (sjoin how='left', utils.py:73).
 
-    salt > 0 replicates each cover row ``salt`` ways and routes each point
-    deterministically to one replica — spreads a hot cell across `salt`
-    tasks in the non-broadcast (shuffle-join) path.
+    salt > 0 (distributed path) replicates each cover row ``salt`` ways and
+    routes each point deterministically to one replica — spreads a hot cell
+    across `salt` tasks in the shuffle-join path.
     """
+    if isinstance(cover, pd.DataFrame):
+        refined = _assign_small_cover(points, cover, res, lon_col, lat_col)
+    else:
+        refined = _assign_dist_cover(
+            points, cover, res, lon_col, lat_col, broadcast_cover, salt
+        )
+    if how == "inner":
+        return refined
+    if how == "left":
+        matched = refined.select(*points.columns, "block_id")
+        return points.join(
+            matched.select(points.columns[0], "block_id"), on=points.columns[0], how="left"
+        )
+    raise ValueError(how)
+
+
+def _assign_small_cover(
+    points: DataFrame, cover_pdf: pd.DataFrame, res: int, lon_col: str, lat_col: str
+) -> DataFrame:
+    """Small-dimension path. Split the cover by the ``interior`` flag:
+    points in interior cells are assigned by the broadcast equi-join alone
+    (whole-stage codegen, zero Python); only boundary-cell candidates pass
+    the exact ray-cast, with rings resolved from an executor broadcast keyed
+    by block_id — the Arrow frame carries primitives only."""
+    spark = points.sparkSession
+    if "interior" not in cover_pdf.columns:
+        cover_pdf = cover_pdf.assign(interior=False)
+    cov_df = F.broadcast(
+        spark.createDataFrame(cover_pdf[["cell", "block_id", "interior"]])
+    )
+    rings = {
+        r.block_id: geom.ring_to_np(r.geometry)
+        for r in cover_pdf.drop_duplicates("block_id").itertuples(index=False)
+    }
+    bc = spark.sparkContext.broadcast(rings)
+
+    @pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, block_id: pd.Series) -> pd.Series:
+        ring_map = bc.value
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v, lat_v = lon.to_numpy(), lat.to_numpy()
+        codes, uniques = pd.factorize(block_id)
+        for k, bid in enumerate(uniques):
+            ii = np.nonzero(codes == k)[0]
+            out[ii] = geom.points_in_polygon(lon_v[ii], lat_v[ii], ring_map[bid])
+        return pd.Series(out)
+
+    pt = points.withColumn("cell", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
+    cand = pt.join(cov_df, on="cell", how="inner")
+    inner = cand.filter(F.col("interior"))
+    boundary = cand.filter(~F.col("interior")).filter(
+        pip(F.col(lon_col), F.col(lat_col), F.col("block_id"))
+    )
+    return inner.unionByName(boundary).drop("cell", "interior")
+
+
+def _assign_dist_cover(
+    points: DataFrame,
+    cover: DataFrame,
+    res: int,
+    lon_col: str,
+    lat_col: str,
+    broadcast_cover: bool,
+    salt: int,
+) -> DataFrame:
+    """Distributed-cover path (large polygon dimension): geometry rides the
+    join as a column; optional salting spreads hot cells."""
     pt = points.withColumn("cell", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
     cov = cover
+    has_interior = "interior" in cover.columns
     if salt > 0:
         cov = cov.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -129,17 +213,16 @@ def assign_points_to_blocks(
     if broadcast_cover:
         cov = F.broadcast(cov)
     cand = pt.join(cov, on=join_keys, how="inner")
-    refined = cand.filter(
-        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("block_id"), F.col("geometry"))
-    ).drop("geometry", "cell", "__salt")
-    if how == "inner":
-        return refined
-    if how == "left":
-        matched = refined.select(*points.columns, "block_id")
-        return points.join(
-            matched.select(points.columns[0], "block_id"), on=points.columns[0], how="left"
+    drop_cols = ["geometry", "cell", "__salt"]
+    if has_interior:
+        inner = cand.filter(F.col("interior"))
+        boundary = cand.filter(~F.col("interior")).filter(
+            _pip_udf(F.col(lon_col), F.col(lat_col), F.col("block_id"), F.col("geometry"))
         )
-    raise ValueError(how)
+        return inner.unionByName(boundary).drop(*drop_cols, "interior")
+    return cand.filter(
+        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("block_id"), F.col("geometry"))
+    ).drop(*drop_cols)
 
 
 def largest_overlap_assign(

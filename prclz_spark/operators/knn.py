@@ -9,9 +9,10 @@ nearest-parcel queries"):
 1. targets are indexed by cell at ``res`` (cell, target_id, tx, ty);
 2. each point explodes to its kRing(r) cells and equi-joins the index;
 3. per point, ``min_by(distance)`` picks the winner;
-4. points with no candidate in ring r escalate to ring 2r (the reference's
-   x2 buffer growth) — an iterative anti-join loop; a final brute-force
-   pass against the (broadcast) target table catches stragglers.
+4. points whose winner is not provably exact within ring r (the analog of
+   the reference's x2 buffer growth) fall through to one brute-force pass
+   against the (broadcast) target table — a single linear plan instead of
+   an iterative anti-join chain, so no branch is recomputed at action time.
 
 Guarantee: a ring-r winner is only accepted when its distance <= r * cell
 edge (otherwise a nearer target could hide in ring r+1) — this makes the
@@ -34,9 +35,9 @@ def knn_join(
     points: DataFrame,
     targets: DataFrame,
     res: int,
-    point_id: str = "point_id",
+    point_id: str | None = None,
     target_id: str = "target_id",
-    max_ring: int = 4,
+    ring: int = 1,
     lon_col: str = "lon",
     lat_col: str = "lat",
     broadcast_targets: bool = True,
@@ -44,49 +45,42 @@ def knn_join(
     """Nearest ``targets`` row (tx, ty) for every ``points`` row.
 
     Output: (point columns..., target_id, nn_dist). Exact nearest neighbor
-    (see module docstring). Targets are expected dimension-sized (blocks /
-    parcel centroids); the point side streams through unshuffled in the
-    broadcast path.
+    (see module docstring): one kRing(``ring``) candidate pass resolves the
+    bulk JVM-side; the (provably few) points whose nearest target is not
+    guaranteed within the ring fall through to a brute-force pass against
+    the broadcast targets. Single linear plan — no iterative anti-join
+    chain, so nothing is recomputed at action time.
+
+    ``point_id``: a unique key column in ``points`` (defaults to the first
+    column); grouping happens on it alone and the remaining point columns
+    are re-attached with one (broadcast-friendly) join at the end.
     """
-    # guarantee radius per ring count, in degrees (use the smaller axis
-    # step: lat cells are 180/2^res tall, lon 360/2^res wide)
+    pid = point_id or points.columns[0]
+    # guarantee radius in degrees: a ring-r winner is exact when its
+    # distance <= r * (lat cell height) — the tightest escape distance out
+    # of the (2r+1)^2 block (lon cells are 2x wider, so this is conservative)
     cell_h = 180.0 / (1 << res)
 
     tgt = targets.withColumn("__tcell", cells.cell_id(F.col("tx"), F.col("ty"), res))
     if broadcast_targets:
         tgt = F.broadcast(tgt)
 
-    remaining = points
-    resolved = None
-    ring = 1
-    while ring <= max_ring:
-        cand = remaining.withColumn(
-            "__cell",
-            F.explode(cells.kring_cells(F.col(lon_col), F.col(lat_col), res, ring)),
-        ).join(tgt, F.col("__cell") == F.col("__tcell"), "inner")
-        d2 = _dist2(F.col(lon_col), F.col(lat_col), F.col("tx"), F.col("ty"))
-        best = (
-            cand.groupBy(*[F.col(c) for c in points.columns])
-            .agg(
-                F.min_by(F.col(target_id), d2).alias(target_id),
-                F.sqrt(F.min(d2)).alias("nn_dist"),
-            )
-        )
-        # accept only provably-exact winners: dist <= ring * cell_h means no
-        # target outside the ring can be closer
-        guarantee = F.lit(ring * cell_h)
-        sure = best.filter(F.col("nn_dist") <= guarantee)
-        resolved = sure if resolved is None else resolved.unionByName(sure)
-        remaining = remaining.join(
-            sure.select(*points.columns), on=points.columns, how="left_anti"
-        )
-        ring *= 2
-
-    # brute-force the stragglers (few, by construction) against all targets
-    brute_cand = remaining.crossJoin(tgt.drop("__tcell"))
+    pts = points.select(pid, lon_col, lat_col)
     d2 = _dist2(F.col(lon_col), F.col(lat_col), F.col("tx"), F.col("ty"))
-    brute = brute_cand.groupBy(*[F.col(c) for c in points.columns]).agg(
+
+    cand = pts.withColumn(
+        "__cell",
+        F.explode(cells.kring_cells(F.col(lon_col), F.col(lat_col), res, ring)),
+    ).join(tgt, F.col("__cell") == F.col("__tcell"), "inner")
+    best = cand.groupBy(pid).agg(
         F.min_by(F.col(target_id), d2).alias(target_id),
         F.sqrt(F.min(d2)).alias("nn_dist"),
     )
-    return resolved.unionByName(brute)
+    sure = best.filter(F.col("nn_dist") <= F.lit(ring * cell_h))
+
+    unresolved = pts.join(sure.select(pid), on=pid, how="left_anti")
+    brute = unresolved.crossJoin(tgt.drop("__tcell")).groupBy(pid).agg(
+        F.min_by(F.col(target_id), d2).alias(target_id),
+        F.sqrt(F.min(d2)).alias("nn_dist"),
+    )
+    return points.join(sure.unionByName(brute), on=pid)

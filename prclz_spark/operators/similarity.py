@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns: brute-force cosine top-k,
+all-pairs near-dup, and an LSH-bucketed scale path.
+
+The reference has no embedding operators; these are the training-data
+pipeline extensions the graft mandates (ANN over ``array<float>``). The
+design splits by role:
+
+- *exact baselines* (``cosine_topk``, ``near_dup_pairs``): blocked GEMM —
+  the query/right side rides an executor broadcast as one contiguous
+  float64 matrix; each Arrow batch of the streaming side does a single
+  ``numpy`` matrix multiply (BLAS) instead of per-row interpreted
+  ``aggregate``/``zip_with`` chains, then emits only local top-k /
+  over-threshold rows so the shuffle carries candidates, not scores.
+- *scale path* (``lsh_bucket``): deterministic sign-random-projection
+  (SimHash-style) bucketing — candidates meet only inside a bucket, the
+  equi-join Catalyst already knows how to shuffle/broadcast. Hyperplanes
+  come from a seeded integer LCG so an ANSI-SQL oracle can replay them.
+
+At 10^12 rows the broadcast side must be dimension-sized (queries,
+centroids); near-dup at full scale composes ``lsh_bucket`` → in-bucket
+GEMM instead of the all-pairs form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["cosine_topk", "near_dup_pairs", "lsh_bucket", "lsh_plane_sql"]
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, mat
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    exclude_self: bool = True,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors among ``embeddings`` for every row of the
+    (dimension-sized) ``queries`` frame.
+
+    Output: (q_id, rank, neighbor_id). Each Arrow batch computes
+    ``batch @ Q.T`` with one BLAS call and emits only its local top-k per
+    query; the global window then ranks ``num_partitions * k`` candidates
+    per query instead of N. Ties broken by ascending neighbor id (matches
+    the SQL oracle's ``order by sim desc, vec_id asc``).
+    """
+    spark = embeddings.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_q, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_e = pdf[id_col].to_numpy()
+            e = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = e @ qn.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_q)):
+                col = sims[:, j]
+                mask = np.ones(len(col), dtype=bool)
+                if exclude_self:
+                    mask &= ids_e != ids_q[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                take = min(k, len(idx))
+                # local top-k: partial-select then exact ordering
+                top = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                out_q.extend([ids_q[j]] * len(top))
+                out_n.extend(ids_e[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    sim_col = (
+        F.round(F.col("sim"), round_digits) if round_digits is not None else F.col("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc(sim_col), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All pairs (v1 < v2) with cosine >= threshold. Right side broadcast
+    as one matrix; each batch is a single GEMM, only over-threshold pairs
+    leave the executor. For tables too large to broadcast, compose
+    ``lsh_bucket`` + in-bucket pairing instead."""
+    spark = embeddings.sparkSession
+    all_ids, all_mat = _collect_matrix(embeddings, id_col, vec_col)
+    all_norm = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((all_ids, all_norm))
+
+    schema = T.StructType(
+        [
+            T.StructField("v1", T.LongType()),
+            T.StructField("v2", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    rd = round_digits
+
+    def pairs(batches):
+        ids_r, rn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_l = pdf[id_col].to_numpy()
+            e = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = e @ rn.T
+            if rd is not None:
+                sims = np.round(sims, rd)
+            li, rj = np.nonzero((sims >= thr) & (ids_l[:, None] < ids_r[None, :]))
+            yield pd.DataFrame(
+                {"v1": ids_l[li], "v2": ids_r[rj], "sim": sims[li, rj]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(pairs, schema)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing (sign random projection) — the 10^12-scale candidate filter
+# ---------------------------------------------------------------------------
+
+_LCG_A, _LCG_B, _LCG_M = 1103515245, 12345, 2**31
+
+
+def _plane_coef(p: int, d: int) -> int:
+    """Deterministic pseudo-random in [-4, 4]: integer LCG on (plane, dim),
+    replayable as ANSI SQL (see lsh_plane_sql)."""
+    return ((p * 7919 + d) * _LCG_A + _LCG_B) % _LCG_M % 9 - 4
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): SimHash-style signature — bit p of ``bucket`` is the
+    sign of <v, h_p> for deterministic hyperplane h_p. JVM-side column
+    arithmetic only (no UDF): each dot product unrolls to a sum over
+    element_at terms, codegen keeps it in one stage."""
+    d = len(embeddings.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p in range(n_planes):
+        dot = None
+        for i in range(d):
+            c = _plane_coef(p, i)
+            if c == 0:
+                continue
+            term = F.element_at(v, i + 1).cast("double") * F.lit(float(c))
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_plane_sql(vec_expr: str, n_planes: int, d: int) -> str:
+    """The same bucket as ANSI SQL (DuckDB: 1-based list indexing)."""
+    parts = []
+    for p in range(n_planes):
+        terms = []
+        for i in range(d):
+            c = _plane_coef(p, i)
+            if c == 0:
+                continue
+            terms.append(f"cast({vec_expr}[{i + 1}] as double) * {float(c)}")
+        dot = " + ".join(terms) if terms else "0.0"
+        parts.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(parts) + ")"
