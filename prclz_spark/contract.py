@@ -23,11 +23,12 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import cells
-from .operators import assign, knn, similarity, tiles
+from .operators import assign, blocks, complexity, knn, similarity, tiles
 from .sources import synth
 
 # ---------------------------------------------------------------------------
@@ -230,6 +231,58 @@ def _sql_spatial_tiles(sf_dir):
           on tx0 < bx1 and tx0 + {tile!r} > bx0
          and ty0 < by1 and ty0 + {tile!r} > by0
     """
+
+
+def _q_spatial_block_extract(spark, sf_dir):
+    """Block extraction (reference entry point 1, SURVEY.md §3.1): road
+    grid → planar arrangement faces → canonical '{region}_{i}' ids. The
+    road table is deterministic synth; the oracle restates the unjittered
+    grid's blocks in closed form (row-major minting)."""
+    roads = synth.road_grid_lines(GRID_G, jitter=0.0)
+    roads = roads[roads.highway.notna()][["osm_id", "geometry"]].copy()
+    roads["region_id"] = "city"
+    lines = spark.createDataFrame(roads)
+    aoi = [
+        [synth.AOI_LON0, synth.AOI_LAT0],
+        [synth.AOI_LON0 + synth.AOI_SPAN, synth.AOI_LAT0],
+        [synth.AOI_LON0 + synth.AOI_SPAN, synth.AOI_LAT0 + synth.AOI_SPAN],
+        [synth.AOI_LON0, synth.AOI_LAT0 + synth.AOI_SPAN],
+    ]
+    regions = spark.createDataFrame(
+        pd.DataFrame([{"region_id": "city", "geometry": aoi}])
+    )
+    out = blocks.extract_blocks(lines, regions)
+    return out.select(
+        "block_id",
+        F.round("x0", 9).alias("x0_r9"), F.round("y0", 9).alias("y0_r9"),
+        F.round("x1", 9).alias("x1_r9"), F.round("y1", 9).alias("y1_r9"),
+    )
+
+
+def _sql_spatial_block_extract(sf_dir):
+    return f"""
+        select concat('city_', cast(gy * {GRID_G} + gx as varchar)) as block_id,
+               round({synth.AOI_LON0} + gx * {STEP!r}, 9) as x0_r9,
+               round({synth.AOI_LAT0} + gy * {STEP!r}, 9) as y0_r9,
+               round({synth.AOI_LON0} + (gx + 1) * {STEP!r}, 9) as x1_r9,
+               round({synth.AOI_LAT0} + (gy + 1) * {STEP!r}, 9) as y1_r9
+        from (select unnest(range(0, {GRID_G})) as gx),
+             (select unnest(range(0, {GRID_G})) as gy)
+    """
+
+
+def _q_spatial_k_complexity(spark, sf_dir):
+    """k-complexity (reference entry point 2, SURVEY.md §3.2): assign
+    image points to blocks, collect per block, Voronoi S0 → weak-dual
+    sequence. Non-SQL-expressible (iterative planar-graph algorithm) —
+    rows-only driver check; pytest pins values against the pure-python
+    oracle (tests/test_graphops.py)."""
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    return complexity.k_complexity(assigned, blocks_sdf).select(
+        "block_id", "complexity", "centroid_count"
+    )
 
 
 def _q_rel_pricing_summary(spark, sf_dir):
@@ -725,6 +778,8 @@ REGISTRY: dict[str, tuple] = {
     "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),
     "spatial_knn": (_q_spatial_knn, _sql_spatial_knn),
     "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
+    "spatial_block_extract": (_q_spatial_block_extract, _sql_spatial_block_extract),
+    "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration
     # relational surface (P/J/A/W/U operator families)
     "rel_pricing_summary": (_q_rel_pricing_summary, _sql_rel_pricing_summary),
     "rel_topn_orders": (_q_rel_topn_orders, _sql_rel_topn_orders),

@@ -124,13 +124,22 @@ def voronoi(points_list: list[tuple[float, float]]):
 
 def halfplane_voronoi_cell(i: int, pts: np.ndarray, frame: np.ndarray) -> np.ndarray:
     """Exact convex Voronoi cell of pts[i]: successively clip ``frame`` by
-    the bisector half-plane toward every other point. O(n) clips per cell;
-    convex by construction."""
+    the bisector half-plane toward other points, *nearest first*, stopping
+    once the security radius is reached — if ||q-p||/2 >= max_v ||v-p||
+    over current cell vertices v, then for every vertex ||v-q|| >=
+    ||q-p|| - ||v-p|| >= ||v-p||, so q's bisector cannot cut the cell, and
+    neither can any farther point. Exact result, typically O(k) clips for
+    k natural neighbors instead of O(n)."""
     cell = frame
     px, py = pts[i]
-    for j in range(len(pts)):
+    d2 = (pts[:, 0] - px) ** 2 + (pts[:, 1] - py) ** 2
+    order = np.argsort(d2, kind="stable")
+    for j in order:
         if j == i or len(cell) == 0:
             continue
+        max_r2 = ((cell[:, 0] - px) ** 2 + (cell[:, 1] - py) ** 2).max()
+        if d2[j] >= 4.0 * max_r2:
+            break  # all remaining points are at least this far (sorted)
         qx, qy = pts[j]
         mx, my = (px + qx) / 2.0, (py + qy) / 2.0
         nx_, ny_ = qx - px, qy - py  # outward normal (toward q)

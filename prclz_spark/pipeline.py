@@ -1,0 +1,110 @@
+"""Stage orchestration with checkpoint/resume — the spark-submit entry.
+
+The reference chains five CLI jobs through a shared directory tree and
+resumes via output-file-exists checks and CheckPointer CSVs (SURVEY.md
+§3, §2.1 S9). Here each stage is a DataFrame program whose output commits
+atomically to the TableStore with per-partition lineage; re-running the
+pipeline recomputes only partitions absent from lineage (kill-and-resume:
+a killed commit leaves no manifest, so its partitions re-run).
+
+Partitioning follows the north_rule: points carry a cell *prefix*
+(coarse cell id) and every stage table is partitioned by it, so a
+neighborhood's images, blocks and k-values co-locate and downstream
+stages join without a shuffle.
+
+Run:  spark-submit --py-files prclz_spark pipeline.py  (or python -m
+prclz_spark.pipeline) — args in main().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import cells
+from .operators import assign as assign_op
+from .operators import complexity as complexity_op
+from .sources import synth
+from .sources.tablestore import TableStore
+
+ASSIGN_TABLE = "assign"
+COMPLEXITY_TABLE = "complexity"
+
+
+def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    base = spark.range(0, n, numPartitions=partitions or 32)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    return base.select(
+        F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    store_root: str,
+    n_images: int = 100_000,
+    grid_g: int = 8,
+    res: int = 17,
+    prefix_res: int = 6,
+) -> dict:
+    """assign → k-complexity, each stage committed + resumable.
+
+    Returns per-stage row counts actually computed this run (0 for a fully
+    resumed stage)."""
+    store = TableStore(store_root)
+    blocks_pdf = synth.grid_blocks(grid_g)
+    cover = assign_op.block_cover_pdf(blocks_pdf, res)
+    computed = {}
+
+    # -- stage 1: spatial assign, partitioned by cell prefix ---------------
+    pts = image_points(spark, n_images)
+    pts = pts.withColumn(
+        "cell_prefix",
+        cells.cell_prefix(
+            cells.cell_id(F.col("lon"), F.col("lat"), res), res, prefix_res
+        ),
+    )
+    todo = store.resume_filter(pts, ASSIGN_TABLE, "cell_prefix")
+    n_todo = todo.count()
+    computed[ASSIGN_TABLE] = n_todo
+    if n_todo > 0:
+        assigned_new = assign_op.assign_points_to_blocks(todo, cover, res)
+        store.commit(assigned_new, ASSIGN_TABLE, "cell_prefix", stage=ASSIGN_TABLE)
+    assigned = store.read(spark, ASSIGN_TABLE)
+
+    # -- stage 2: k-complexity per block, partitioned by block's prefix ----
+    blocks_sdf = spark.createDataFrame(blocks_pdf)
+    done_blocks = store.completed_partitions(COMPLEXITY_TABLE)
+    todo_blocks = blocks_sdf
+    if done_blocks:
+        todo_blocks = blocks_sdf.filter(~F.col("block_id").isin(*sorted(done_blocks)))
+    n_blocks_todo = todo_blocks.count()
+    computed[COMPLEXITY_TABLE] = n_blocks_todo
+    if n_blocks_todo > 0:
+        todo_assigned = assigned.join(
+            F.broadcast(todo_blocks.select("block_id")), "block_id", "left_semi"
+        )
+        k = complexity_op.k_complexity(todo_assigned, todo_blocks)
+        store.commit(k, COMPLEXITY_TABLE, "block_id", stage=COMPLEXITY_TABLE)
+
+    return computed
+
+
+def main() -> None:
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", default="/tmp/prclz_warehouse")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--grid", type=int, default=8)
+    args = ap.parse_args()
+    spark = get_spark("prclz_pipeline")
+    out = run_pipeline(spark, args.store, n_images=args.n, grid_g=args.grid)
+    print(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
