@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import cells
-from .operators import assign, blocks, complexity, knn, similarity, tiles
+from .operators import assign, blocks, complexity, knn, similarity, text, tiles
 from .sources import synth
 
 # ---------------------------------------------------------------------------
@@ -530,6 +530,38 @@ def _sql_txt_token_stats(sf_dir):
     """
 
 
+def _q_txt_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _sql_txt_quality(sf_dir):
+    return text.quality_score_sql("documents")
+
+
+def _q_txt_lang_id(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_txt_lang_id(sf_dir):
+    return text.lang_id_sql("documents")
+
+
+def _q_txt_simhash(spark, sf_dir):
+    out = text.simhash(_t(spark, sf_dir, "documents"))
+    # bucket summary doubles as the SimHash near-dup candidate generator
+    return out.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def _sql_txt_simhash(sf_dir):
+    return f"""
+        with sh as ({text.simhash_sql('documents')})
+        select simhash, count(*) as n_docs, min(doc_id) as min_doc_id
+        from sh group by 1
+    """
+
+
 def _q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -794,6 +826,9 @@ REGISTRY: dict[str, tuple] = {
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
     # text / dedup
     "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
+    "txt_quality_score": (_q_txt_quality, _sql_txt_quality),
+    "txt_lang_id": (_q_txt_lang_id, _sql_txt_lang_id),
+    "txt_simhash_buckets": (_q_txt_simhash, _sql_txt_simhash),
     "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
     "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
     "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),

@@ -1,0 +1,211 @@
+"""Text-analysis operators over the documents table: quality scoring,
+language-ID heuristic, SimHash fingerprinting.
+
+These are the training-data pipeline extensions the graft mandates (the
+reference has no text surface). Design rule: everything is JVM-side
+Column arithmetic (whole-stage codegen, zero Python) and every formula is
+restatable in ANSI SQL so the DuckDB oracle can verify it exactly —
+``*_sql`` helpers emit the mirrored expression.
+
+At 10^12 rows each operator is a single narrow projection (quality,
+lang-id) or one explode + aggregate (simhash) — no joins, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# marker words per language for the n-gram-style scoring heuristic; ties
+# resolve by tuple order (deterministic in both engines)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "le", "bu", "zai"),
+}
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Length / punctuation / stopword / digit heuristics + a combined
+    score in [0, 1]. The score formula is deliberately simple arithmetic
+    over the ratios so both engines produce identical IEEE doubles."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    ).cast("double") / n_chars.cast("double")
+    digit_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    ).cast("double") / n_chars.cast("double")
+    mean_tok_len = (
+        (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")
+    )
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len_r6"),
+        F.round(stop_ratio, 6).alias("stop_ratio_r6"),
+        F.round(punct_ratio, 6).alias("punct_ratio_r6"),
+        F.round(score, 6).alias("quality_r6"),
+    )
+
+
+def quality_score_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = text_col
+    n_tokens = f"len(string_split({t}, ' '))"
+    n_chars = f"length({t})"
+    n_stop = f"len(list_filter(string_split({t}, ' '), x -> x in ({sw})))"
+    stop = f"(cast({n_stop} as double) / cast({n_tokens} as double))"
+    punct = (
+        f"(cast({n_chars} - length(regexp_replace({t}, '[.,;:!?]', '', 'g')) as double)"
+        f" / cast({n_chars} as double))"
+    )
+    digit = (
+        f"(cast({n_chars} - length(regexp_replace({t}, '[0-9]', '', 'g')) as double)"
+        f" / cast({n_chars} as double))"
+    )
+    mean_tok = f"(cast({n_chars} - ({n_tokens} - 1) as double) / cast({n_tokens} as double))"
+    score = (
+        f"least(cast({n_tokens} as double) / 64.0, 1.0) * 0.4"
+        f" + least({stop} * 4.0, 1.0) * 0.3"
+        f" + (1.0 - least({punct} * 10.0, 1.0)) * 0.2"
+        f" + (1.0 - least({digit} * 10.0, 1.0)) * 0.1"
+    )
+    return f"""
+        select {id_col},
+               {n_tokens} as n_tokens,
+               round({mean_tok}, 6) as mean_tok_len_r6,
+               round({stop}, 6) as stop_ratio_r6,
+               round({punct}, 6) as punct_ratio_r6,
+               round({score}, 6) as quality_r6
+        from {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+            ) -> DataFrame:
+    """Marker-word scoring: count per-language marker hits among the
+    tokens; argmax with ties resolved by LANG_MARKERS order (an n-gram
+    language profile reduced to its most discriminative unigrams)."""
+    toks = F.split(F.col(text_col), " ")
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # bind via helper: a 2-arg lambda would be treated as (elem, index)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best_lang: Column = F.lit(langs[0])
+    best_score: Column = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return df.select(
+        id_col,
+        best_lang.alias("pred_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def lang_id_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    def score(markers):
+        m = ", ".join(f"'{w}'" for w in markers)
+        return f"len(list_filter(string_split({text_col}, ' '), x -> x in ({m})))"
+
+    langs = list(LANG_MARKERS)
+    sels = ", ".join(
+        f"{score(LANG_MARKERS[lang])} as s_{lang}" for lang in langs
+    )
+    # replicate the left-to-right strictly-greater argmax
+    best_lang = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang = f"(case when s_{lang} > {best_score} then '{lang}' else {best_lang} end)"
+        best_score = f"(case when s_{lang} > {best_score} then s_{lang} else {best_score} end)"
+    return f"""
+        with scored as (select {id_col}, {sels} from {table})
+        select {id_col}, {best_lang} as pred_lang, {best_score} as marker_hits
+        from scored
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # one bit per md5 hex nibble — SQL-replayable exactly
+
+_HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+            ) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit i is set when the count of
+    tokens whose md5 nibble i has its high bit set exceeds half the token
+    count (the +1/-1 majority in counting form). One explode + one
+    aggregation, all JVM-side."""
+    toks = F.explode(
+        F.array_distinct(F.split(F.col(text_col), " "))
+    ).alias("tok")
+    base = df.select(F.col(id_col), toks)
+    h = F.md5(F.col("tok"))
+    aggs = [F.count("*").alias("n")]
+    for i in range(SIMHASH_BITS):
+        aggs.append(
+            F.sum(
+                F.when(F.substring(h, i + 1, 1).isin(*_HI_NIBBLES), 1).otherwise(0)
+            ).alias(f"c{i}")
+        )
+    counts = base.groupBy(id_col).agg(*aggs)
+    sig: Column = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return counts.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    hi = ", ".join(f"'{n}'" for n in _HI_NIBBLES)
+    cs = ", ".join(
+        f"sum(case when substr(md5(tok), {i + 1}, 1) in ({hi}) then 1 else 0 end) as c{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(case when c{i} * 2 > n then {1 << i} else 0 end)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        with toks as (
+          select {id_col}, unnest(list_distinct(string_split({text_col}, ' '))) as tok
+          from {table}
+        ),
+        counts as (select {id_col}, count(*) as n, {cs} from toks group by {id_col})
+        select {id_col}, cast({sig} as bigint) as simhash from counts
+    """
