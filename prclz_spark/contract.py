@@ -28,7 +28,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import cells
-from .operators import assign, blocks, complexity, knn, similarity, text, tiles
+from .operators import (
+    assign,
+    blocks,
+    complexity,
+    knn,
+    parcel,
+    reblock,
+    similarity,
+    text,
+    tiles,
+)
 from .sources import synth
 
 # ---------------------------------------------------------------------------
@@ -282,6 +292,44 @@ def _q_spatial_k_complexity(spark, sf_dir):
     blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
     return complexity.k_complexity(assigned, blocks_sdf).select(
         "block_id", "complexity", "centroid_count"
+    )
+
+
+def _q_spatial_parcels(spark, sf_dir):
+    """Parcelization (reference stage 3): Voronoi parcel per assigned image
+    point. Per-block invariants are SQL-checkable: one parcel per point and
+    the cells exactly partition the block (area sum = block area)."""
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    parcels = parcel.parcelize(assigned, blocks_sdf)
+    return parcels.groupBy("block_id").agg(
+        F.count("*").alias("n_parcels"),
+        F.round(F.sum("area"), 9).alias("area_r9"),
+    )
+
+
+def _sql_spatial_parcels(sf_dir):
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select {_grid_block_sql()} as block_id, count(*) as n_parcels,
+               round({STEP!r} * {STEP!r}, 9) as area_r9
+        from pts group by 1
+    """
+
+
+def _q_spatial_reblock(spark, sf_dir):
+    """Steiner reblocking summary (reference entry point 3) — rows-only:
+    the metric-closure MST is not SQL-expressible; pytest pins kernel
+    invariants (tests/test_reblock.py)."""
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    parcels = parcel.parcelize(assigned, blocks_sdf)
+    out = reblock.reblock(parcels, assigned, blocks_sdf, emit="summary")
+    return out.select(
+        "block_id", "status", "n_terminals", "n_new_edges",
+        F.round("new_len", 9).alias("new_len_r9"),
     )
 
 
@@ -812,6 +860,8 @@ REGISTRY: dict[str, tuple] = {
     "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
     "spatial_block_extract": (_q_spatial_block_extract, _sql_spatial_block_extract),
     "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration
+    "spatial_parcels": (_q_spatial_parcels, _sql_spatial_parcels),
+    "spatial_reblock": (_q_spatial_reblock, None),  # rows-only: Steiner MST not SQL-expressible
     # relational surface (P/J/A/W/U operator families)
     "rel_pricing_summary": (_q_rel_pricing_summary, _sql_rel_pricing_summary),
     "rel_topn_orders": (_q_rel_topn_orders, _sql_rel_topn_orders),

@@ -14,6 +14,16 @@ from __future__ import annotations
 
 import numpy as np
 
+SNAP = 1e-9  # ~0.1mm in degrees
+
+
+def snap_ring(ring: np.ndarray, snap: float = SNAP) -> np.ndarray:
+    """Round coordinates to a fixed grid so vertices computed through
+    different float paths (e.g. the shared edge of two independently
+    clipped Voronoi cells) coincide exactly and graph nodes merge."""
+    return np.round(np.asarray(ring, dtype=float) / snap) * snap
+
+
 def ring_to_np(val) -> np.ndarray:
     """Arrow deserializes array<array<double>> as an object ndarray of
     float ndarrays; np.asarray(..., dtype=float) rejects that. Normalize

@@ -71,7 +71,9 @@ def s0_from_block(block_ring: np.ndarray, centroids: list[tuple[float, float]]) 
         # as clipper, block as subject == cell ∩ block
         clipped = geom.clip_polygon_convex(block_ring, cell)
         if len(clipped) >= 3 and geom.ring_area(clipped) > 0:
-            rings.append(clipped)
+            # snap so adjacent cells' independently-computed shared vertices
+            # coincide exactly and the mesh graph is connected
+            rings.append(geom.snap_ring(clipped))
     return PlanarGraph.from_polygons(rings)
 
 

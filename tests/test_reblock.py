@@ -1,0 +1,111 @@
+"""Parcelization + Steiner reblocking tests (reference entry point 3 —
+/root/reference/reblock/i_reblock.py, steiner_tree.py; parcelization
+midway_parcelization.R)."""
+
+import numpy as np
+import pytest
+
+from prclz_spark.functions import geom
+from prclz_spark.functions.graphops import PlanarGraph
+from prclz_spark.operators.parcel import block_parcels
+from prclz_spark.operators.reblock import reblock_kernel
+
+RING = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+
+
+def _pts(n, seed=11):
+    return np.random.default_rng(seed).uniform(0.05, 0.95, (n, 2))
+
+
+def test_parcels_partition_block():
+    pts = _pts(30)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(30)], pts)
+    assert len(parcels) == 30
+    total = sum(geom.ring_area(c) for _, c in parcels)
+    assert abs(total - 1.0) < 1e-9  # cells exactly partition the block
+    # each anchor point lies in (or on) its own cell
+    for (pid, cell), p in zip(parcels, pts):
+        assert geom.point_in_polygon(p[0], p[1], geom.snap_ring(cell)) or min(
+            np.hypot(cell[:, 0] - p[0], cell[:, 1] - p[1])
+        ) < 1e-6
+
+
+def test_parcel_mesh_connected_after_snap():
+    pts = _pts(25)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(25)], pts)
+    g = PlanarGraph.from_polygons([geom.snap_ring(c) for _, c in parcels])
+    assert len(g.connected_components()) == 1
+
+
+def test_reblock_kernel_invariants():
+    pts = _pts(25)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(25)], pts)
+    edges, summary = reblock_kernel(RING, [c for _, c in parcels], pts)
+    assert summary["status"] == 0
+    assert summary["n_terminals"] >= 20  # merges allowed, most points survive
+    assert summary["n_new_edges"] > 0
+    # steiner result is a single connected subgraph containing all terminals
+    g = PlanarGraph()
+    for _, a, b, _ in edges:
+        g.add_edge(a, b)
+    assert len(g.connected_components()) == 1
+    # existing edges lie on the block boundary (weight-0 roads)
+    b = RING
+    bsegs = np.stack([b, np.roll(b, -1, axis=0)], axis=1)
+    for et, a, bb, _ in edges:
+        if et == "existing":
+            for p in (a, bb):
+                d, _, _ = geom.seg_point_distance(
+                    bsegs[:, 0, 0], bsegs[:, 0, 1], bsegs[:, 1, 0], bsegs[:, 1, 1],
+                    np.full(4, p[0]), np.full(4, p[1]),
+                )
+                assert d.min() <= 1e-8
+
+
+def test_reblock_kernel_deterministic():
+    pts = _pts(20, seed=5)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(20)], pts)
+    e1, s1 = reblock_kernel(RING, [c for _, c in parcels], pts)
+    e2, s2 = reblock_kernel(RING, [c for _, c in parcels], pts)
+    assert [e[:3] for e in e1] == [e[:3] for e in e2]
+    s1.pop("wall_ms"), s2.pop("wall_ms")
+    assert s1 == s2
+
+
+def test_reblock_few_terminals_skipped():
+    pts = _pts(1)
+    edges, summary = reblock_kernel(RING, [RING], pts)
+    assert summary["status"] == 2
+    assert edges == []
+
+
+@pytest.mark.slow
+def test_parcelize_and_reblock_distributed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prclz_spark.operators import assign, parcel, reblock
+    from prclz_spark.sources import synth
+
+    g = 3
+    cover = assign.block_cover_pdf(synth.grid_blocks(g), 15)
+    base = spark.range(0, 400, numPartitions=4)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    pts = base.select(F.col("id").cast("string").alias("image_id"),
+                      lon.alias("lon"), lat.alias("lat"))
+    assigned = assign.assign_points_to_blocks(pts, cover, 15)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(g))
+    parcels = parcel.parcelize(assigned, blocks_sdf)
+    pstats = parcel.parcel_stats(parcels).toPandas()
+    step = synth.AOI_SPAN / g
+    assert (np.abs(pstats.total_area - step * step) < 1e-9).all()
+
+    summary = reblock.reblock(parcels, assigned, blocks_sdf, emit="summary").toPandas()
+    assert set(summary.status) <= {0, 2}
+    ok = summary[summary.status == 0]
+    assert len(ok) > 0
+    assert (ok.n_new_edges > 0).all()
+
+    edges = reblock.reblock(parcels, assigned, blocks_sdf, emit="edges").toPandas()
+    assert set(edges.edge_type) <= {"existing", "new"}
+    assert (edges.length >= 0).all()
