@@ -78,12 +78,12 @@ base = spark.range(0, n, numPartitions=cores * 2)
 lon, lat = synth.lonlat_cols(F.col("id"))
 pts = base.select(F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat"))
 assigned = assign.assign_points_to_blocks(pts, cover, 17)
-timed(complexity.k_complexity(assigned, blocks_sdf), G * G)
+timed(complexity.k_complexity(assigned, blocks_sdf, num_partitions=cores * 16), G * G)
 spark.stop()
 """
 
 JOBS = {
-    "k_complexity": (JOB_KCOMPLEXITY, 400_000, "blocks/s"),
+    "k_complexity": (JOB_KCOMPLEXITY, 200_000, "blocks/s"),
     "spatial_assign": (JOB_ASSIGN, 100_000_000, "points/s"),
 }
 

@@ -33,7 +33,9 @@ from .operators import (
     blocks,
     complexity,
     knn,
+    multimodal,
     parcel,
+    rangejoin,
     reblock,
     similarity,
     text,
@@ -54,7 +56,6 @@ TILE_FOOT = 0.002
 OVL_SIDE = 0.003  # largest-overlap feature square side
 
 _IMAGES_N = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}
-_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 # contract.py sits in prclz_spark/ → repo root is dirname(dirname(__file__))
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
@@ -331,6 +332,48 @@ def _q_spatial_reblock(spark, sf_dir):
         "block_id", "status", "n_terminals", "n_new_edges",
         F.round("new_len", 9).alias("new_len_r9"),
     )
+
+
+SEG_RES = 13
+ROAD_EPS = 0.004  # ε for the near-road classify (J4/J13)
+
+
+def _q_spatial_road_dist(spark, sf_dir):
+    """J4/J13 distance join: each image point's exact distance to the
+    nearest road segment + ε classify. Oracle: closed-form distance to the
+    nearest grid line (valid for the unjittered road grid)."""
+    pts = _img_points(spark, sf_dir)
+    roads = synth.road_grid_lines(GRID_G, jitter=0.0)
+    roads = roads[roads.highway.notna()]
+    seg_rows = []
+    for r in roads.itertuples(index=False):
+        g = r.geometry
+        for i in range(len(g) - 1):
+            seg_rows.append(
+                {"seg_id": f"{r.osm_id}_{i}",
+                 "ax": g[i][0], "ay": g[i][1], "bx": g[i + 1][0], "by": g[i + 1][1]}
+            )
+    cover = rangejoin.segment_cover_pdf(pd.DataFrame(seg_rows), SEG_RES)
+    joined = rangejoin.nearest_segment_join(pts, cover, SEG_RES)
+    out = rangejoin.classify_by_distance(joined, ROAD_EPS)
+    return out.select(
+        "image_id", F.round("road_dist", 9).alias("road_dist_r9"), "road_class"
+    )
+
+
+def _sql_spatial_road_dist(sf_dir):
+    mx = f"((lon - {synth.AOI_LON0}) / {STEP!r})"
+    my = f"((lat - {synth.AOI_LAT0}) / {STEP!r})"
+    dx = f"(least({mx} - floor({mx}), 1.0 - ({mx} - floor({mx}))) * {STEP!r})"
+    dy = f"(least({my} - floor({my}), 1.0 - ({my} - floor({my}))) * {STEP!r})"
+    d = f"least({dx}, {dy})"
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select image_id, round({d}, 9) as road_dist_r9,
+               case when {d} <= {ROAD_EPS} then 'near_road' else 'off_road' end
+                 as road_class
+        from pts
+    """
 
 
 def _q_rel_pricing_summary(spark, sf_dir):
@@ -836,6 +879,29 @@ def _sql_img_metadata_stats(sf_dir):
     """
 
 
+def _q_img_payload_fidelity(spark, sf_dir):
+    """input_hint per-row invariant: decoded-pixel PSNR >= 40 dB (exact for
+    lossless) + caption equality + phash match. The oracle knows only the
+    per-fmt row counts — the engine must actually decode every payload and
+    pass the gate row-for-row for n_fidelity_ok to equal n_images."""
+    img = _images(spark, sf_dir)
+    out = multimodal.payload_fidelity(img)
+    return out.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("fidelity_ok").cast("int")).alias("n_fidelity_ok"),
+        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+    )
+
+
+def _sql_img_payload_fidelity(sf_dir):
+    return f"""
+        select fmt, count(*) as n_images, count(*) as n_fidelity_ok,
+               count(*) as n_caption_ok
+        from read_parquet('{images_parquet_path(sf_dir)}')
+        group by fmt
+    """
+
+
 def _q_img_tile_stats(spark, sf_dir):
     """Decode payloads → per-tile mean RGB (no SQL oracle: pixel decode is
     not SQL-expressible; driver records rows-only check, pytest pins
@@ -862,6 +928,7 @@ REGISTRY: dict[str, tuple] = {
     "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration
     "spatial_parcels": (_q_spatial_parcels, _sql_spatial_parcels),
     "spatial_reblock": (_q_spatial_reblock, None),  # rows-only: Steiner MST not SQL-expressible
+    "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
     # relational surface (P/J/A/W/U operator families)
     "rel_pricing_summary": (_q_rel_pricing_summary, _sql_rel_pricing_summary),
     "rel_topn_orders": (_q_rel_topn_orders, _sql_rel_topn_orders),
@@ -889,6 +956,7 @@ REGISTRY: dict[str, tuple] = {
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, None),  # rows-only: pixel decode
+    "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
 }
 
 

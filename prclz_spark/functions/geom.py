@@ -135,19 +135,32 @@ def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
     vertex mean — |2A| < 0.02 (prclz/topology.py:253-271). The fallback
     threshold is load-bearing for k-complexity row parity (SURVEY.md §7.3
     step 5) so it is replicated exactly, including operating on the
-    *distinct sorted* vertex set the Face keeps."""
-    x, y = ring[:, 0], ring[:, 1]
-    x1, y1 = np.roll(x, -1), np.roll(y, -1)
-    cross = x * y1 - x1 * y
-    acc_a2 = float(np.sum(cross))
+    *distinct* vertex set the Face keeps.
+
+    Plain-Python accumulation: faces are tiny (4-10 vertices) and this is
+    the hottest call in the weak-dual iteration — interpreter loops beat
+    numpy dispatch overhead by ~5x at these sizes (left-to-right summation,
+    matching the reference's sequential loop, topology.py:255-259)."""
+    n = len(ring)
+    acc_a2 = 0.0
+    sx = 0.0
+    sy = 0.0
+    for i in range(n):
+        x0_, y0_ = ring[i, 0], ring[i, 1]
+        j = i + 1 if i + 1 < n else 0
+        x1_, y1_ = ring[j, 0], ring[j, 1]
+        cross = x0_ * y1_ - x1_ * y0_
+        acc_a2 += cross
+        sx += (x0_ + x1_) * cross
+        sy += (y0_ + y1_) * cross
     if abs(acc_a2) < 0.02:
-        # Face.nodes is a sorted *set* of nodes — dedupe before averaging
-        uniq = np.unique(ring, axis=0)
-        return float(uniq[:, 0].mean()), float(uniq[:, 1].mean())
+        uniq = sorted({(float(ring[i, 0]), float(ring[i, 1])) for i in range(n)})
+        return (
+            sum(p[0] for p in uniq) / len(uniq),
+            sum(p[1] for p in uniq) / len(uniq),
+        )
     a6 = 3.0 * acc_a2
-    cx = float(np.sum((x + x1) * cross)) / a6
-    cy = float(np.sum((y + y1) * cross)) / a6
-    return cx, cy
+    return float(sx) / a6, float(sy) / a6
 
 
 def ring_bounds(ring: np.ndarray) -> tuple[float, float, float, float]:

@@ -130,35 +130,46 @@ def halfplane_voronoi_cell(i: int, pts: np.ndarray, frame: np.ndarray) -> np.nda
     ||q-p|| - ||v-p|| >= ||v-p||, so q's bisector cannot cut the cell, and
     neither can any farther point. Exact result, typically O(k) clips for
     k natural neighbors instead of O(n)."""
-    cell = frame
-    px, py = pts[i]
+    # list-of-tuples representation: cells are tiny (~6 vertices) so plain
+    # Python beats numpy dispatch; the arithmetic expressions are identical
+    # op-for-op, hence bit-identical results
+    cell = [(float(x), float(y)) for x, y in frame]
+    px, py = float(pts[i, 0]), float(pts[i, 1])
     d2 = (pts[:, 0] - px) ** 2 + (pts[:, 1] - py) ** 2
-    order = np.argsort(d2, kind="stable")
+    order = np.argsort(d2, kind="stable").tolist()
+    d2l = d2.tolist()
+    max_r2 = max((cx - px) ** 2 + (cy - py) ** 2 for cx, cy in cell)
     for j in order:
-        if j == i or len(cell) == 0:
+        if j == i or not cell:
             continue
-        max_r2 = ((cell[:, 0] - px) ** 2 + (cell[:, 1] - py) ** 2).max()
-        if d2[j] >= 4.0 * max_r2:
+        if d2l[j] >= 4.0 * max_r2:
             break  # all remaining points are at least this far (sorted)
-        qx, qy = pts[j]
+        qx, qy = float(pts[j, 0]), float(pts[j, 1])
         mx, my = (px + qx) / 2.0, (py + qy) / 2.0
         nx_, ny_ = qx - px, qy - py  # outward normal (toward q)
-        x, y = cell[:, 0], cell[:, 1]
-        side = (x - mx) * nx_ + (y - my) * ny_  # keep side <= 0 (closer to p)
-        inside = side <= 1e-15
-        if inside.all():
+        side = [(x - mx) * nx_ + (y - my) * ny_ for x, y in cell]
+        if all(s <= 1e-15 for s in side):  # keep side <= 0 (closer to p)
             continue
-        nxt = np.roll(np.arange(len(cell)), -1)
-        new_pts = []
-        for a in range(len(cell)):
-            b = nxt[a]
-            if inside[a]:
+        n = len(cell)
+        new_pts: list[tuple[float, float]] = []
+        for a in range(n):
+            b = a + 1 if a + 1 < n else 0
+            sa, sb = side[a], side[b]
+            if sa <= 1e-15:
                 new_pts.append(cell[a])
-                if not inside[b]:
-                    t = side[a] / (side[a] - side[b])
-                    new_pts.append(cell[a] + t * (cell[b] - cell[a]))
-            elif inside[b]:
-                t = side[a] / (side[a] - side[b])
-                new_pts.append(cell[a] + t * (cell[b] - cell[a]))
-        cell = np.asarray(new_pts) if new_pts else np.empty((0, 2))
-    return cell
+                if not sb <= 1e-15:
+                    t = sa / (sa - sb)
+                    new_pts.append(
+                        (cell[a][0] + t * (cell[b][0] - cell[a][0]),
+                         cell[a][1] + t * (cell[b][1] - cell[a][1]))
+                    )
+            elif sb <= 1e-15:
+                t = sa / (sa - sb)
+                new_pts.append(
+                    (cell[a][0] + t * (cell[b][0] - cell[a][0]),
+                     cell[a][1] + t * (cell[b][1] - cell[a][1]))
+                )
+        cell = new_pts
+        if cell:
+            max_r2 = max((cx - px) ** 2 + (cy - py) ** 2 for cx, cy in cell)
+    return np.asarray(cell) if cell else np.empty((0, 2))

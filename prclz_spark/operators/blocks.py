@@ -171,9 +171,11 @@ def extract_blocks(lines: DataFrame, regions: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
 
+    n = lines.sparkSession.sparkContext.defaultParallelism * 2
     return (
         lines.select("region_id", "geometry")
+        .repartition(n, "region_id")
         .groupBy("region_id")
-        .cogroup(regions.groupBy("region_id"))
+        .cogroup(regions.repartition(n, "region_id").groupBy("region_id"))
         .applyInPandas(per_region, BLOCKS_SCHEMA)
     )

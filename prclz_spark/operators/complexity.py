@@ -95,7 +95,9 @@ COMPLEXITY_SCHEMA = T.StructType(
 )
 
 
-def k_complexity(assigned_points: DataFrame, blocks: DataFrame) -> DataFrame:
+def k_complexity(
+    assigned_points: DataFrame, blocks: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """Distributed k-complexity.
 
     ``assigned_points``: (block_id, lon, lat) — output of
@@ -104,7 +106,14 @@ def k_complexity(assigned_points: DataFrame, blocks: DataFrame) -> DataFrame:
     FIXTURES.md §6 contract (geometry/centroids re-joinable from inputs).
 
     Uses cogrouped applyInPandas so block geometry rides next to its points
-    without replicating the ring onto every point row."""
+    without replicating the ring onto every point row.
+
+    The kernel is CPU-heavy while its shuffle is byte-light, so AQE's
+    size-based partition coalescing would starve the stage (a few-MB
+    shuffle collapses to a handful of tasks no matter how many cores
+    exist). The input is therefore pre-hash-partitioned on block_id with an
+    explicit count — an exchange Spark reuses for the cogroup clustering
+    and AQE will not coalesce — defaulting to 2x default parallelism."""
 
     def per_block(pts_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blk_pdf) == 0:
@@ -124,9 +133,12 @@ def k_complexity(assigned_points: DataFrame, blocks: DataFrame) -> DataFrame:
             {"block_id": [bid], "complexity": [k], "centroid_count": [len(cent)]}
         )
 
+    n = num_partitions or (
+        assigned_points.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    pts = assigned_points.select("block_id", "lon", "lat").repartition(n, "block_id")
     return (
-        assigned_points.select("block_id", "lon", "lat")
-        .groupBy("block_id")
-        .cogroup(blocks.groupBy("block_id"))
+        pts.groupBy("block_id")
+        .cogroup(blocks.repartition(n, "block_id").groupBy("block_id"))
         .applyInPandas(per_block, COMPLEXITY_SCHEMA)
     )

@@ -70,10 +70,13 @@ def parcelize(
     assigned_points: DataFrame,
     blocks: DataFrame,
     point_id: str = "image_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(block_id, parcel_point_id, geometry, area): one parcel per
     assigned point. ``assigned_points``: (block_id, point_id, lon, lat);
-    ``blocks``: (block_id, geometry ring)."""
+    ``blocks``: (block_id, geometry ring). Pre-hash-partitioned with an
+    explicit count so AQE's size-based coalescing cannot starve the
+    CPU-heavy kernel (see complexity.k_complexity)."""
 
     def per_block(pts_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [f.name for f in PARCELS_SCHEMA.fields]
@@ -98,10 +101,15 @@ def parcelize(
         ]
         return pd.DataFrame(rows, columns=cols)
 
+    n = num_partitions or (
+        assigned_points.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    pts = assigned_points.select("block_id", point_id, "lon", "lat").repartition(
+        n, "block_id"
+    )
     return (
-        assigned_points.select("block_id", point_id, "lon", "lat")
-        .groupBy("block_id")
-        .cogroup(blocks.groupBy("block_id"))
+        pts.groupBy("block_id")
+        .cogroup(blocks.repartition(n, "block_id").groupBy("block_id"))
         .applyInPandas(per_block, PARCELS_SCHEMA)
     )
 

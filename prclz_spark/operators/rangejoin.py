@@ -1,0 +1,130 @@
+"""Distance joins point→segment: nearest-road distance and ε-threshold
+classification.
+
+Reference semantics: the dilated-line spatial join (buffer by ε then
+intersects, /root/reference/data_processing/split_lines.py:23-38 — J4) and
+the distance-threshold classify (nearest line-feature type with
+``dist > THRESHOLD_METERS → 'gadm_boundary'``,
+reblock/i_topology_utils.py:33, 309-329 — J13). Both reduce to "distance
+from point to nearest segment" with a predicate on top; buffering is
+replaced by the exact distance test (buffer(ε).intersects(x) ≡
+dist(x) ≤ ε — SURVEY.md §2.7 F6).
+
+Distributed shape: segments explode to covering cells (supercover
+sampling, driver-side for dimension-sized road tables); points kRing-join
+the cell index; the point-segment distance is *pure Column arithmetic*
+(dot-product clamp — no Python anywhere); ``min_by`` picks the winner with
+the same exactness guarantee + brute-force fallback as the kNN join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells
+
+__all__ = ["segment_cover_pdf", "nearest_segment_join", "classify_by_distance"]
+
+
+def segment_cover_pdf(segments_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """(seg_id, ax, ay, bx, by) → one row per (cell, segment): supercover
+    sampling at 1/4-cell steps with 1-cell dilation so every cell within
+    one cell of the segment is present (the kRing(1) join then guarantees
+    candidate completeness for any point within ~1 cell of a road)."""
+    nx = 1 << res
+    rows = []
+    for r in segments_pdf.itertuples(index=False):
+        u0, v0 = (r.ax + 180.0) / 360.0 * nx, (r.ay + 90.0) / 180.0 * nx
+        u1, v1 = (r.bx + 180.0) / 360.0 * nx, (r.by + 90.0) / 180.0 * nx
+        n = max(1, int(np.ceil(max(abs(u1 - u0), abs(v1 - v0)) / 0.25)))
+        t = np.linspace(0.0, 1.0, n + 1)
+        iu = np.floor(u0 + t * (u1 - u0)).astype(np.int64)
+        iv = np.floor(v0 + t * (v1 - v0)).astype(np.int64)
+        cs = set()
+        for du in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                uu = np.clip(iu + du, 0, nx - 1)
+                vv = np.clip(iv + dv, 0, nx - 1)
+                cs.update(
+                    (res * cells.RES_BITS_SHIFT + uu * cells.XY_SHIFT + vv).tolist()
+                )
+        for c in cs:
+            rows.append(
+                {"cell": int(c), "seg_id": r.seg_id,
+                 "ax": r.ax, "ay": r.ay, "bx": r.bx, "by": r.by}
+            )
+    return pd.DataFrame(rows)
+
+
+def _seg_dist_cols():
+    """Point-segment distance as Column arithmetic (F14 dot-product clamp,
+    whole-stage codegen)."""
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    len2 = dx * dx + dy * dy
+    t_raw = ((F.col("lon") - F.col("ax")) * dx + (F.col("lat") - F.col("ay")) * dy) / len2
+    t = F.when(len2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))).otherwise(F.lit(0.0))
+    cx = F.col("ax") + t * dx
+    cy = F.col("ay") + t * dy
+    return F.sqrt(
+        (F.col("lon") - cx) * (F.col("lon") - cx)
+        + (F.col("lat") - cy) * (F.col("lat") - cy)
+    )
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segment_cover: pd.DataFrame,
+    res: int,
+    point_id: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(point columns..., seg_id, road_dist): exact nearest segment.
+    Candidates from the kRing(1) × dilated-cover equi-join; winners whose
+    distance exceeds the ring guarantee fall through to a brute-force pass
+    against the broadcast segment table (few, by cover construction)."""
+    spark = points.sparkSession
+    pid = point_id or points.columns[0]
+    cell_h = 180.0 / (1 << res)
+    cov = F.broadcast(spark.createDataFrame(segment_cover))
+    segs = F.broadcast(
+        spark.createDataFrame(
+            segment_cover.drop_duplicates("seg_id")[["seg_id", "ax", "ay", "bx", "by"]]
+        )
+    )
+    pts = points.select(pid, lon_col, lat_col)
+    dist = _seg_dist_cols()
+
+    cand = pts.withColumn("cell", cells.cell_id(F.col(lon_col), F.col(lat_col), res)) \
+        .join(cov, on="cell", how="inner")
+    best = cand.groupBy(pid).agg(
+        F.min_by(F.col("seg_id"), dist).alias("seg_id"),
+        F.min(dist).alias("road_dist"),
+    )
+    # the dilated cover guarantees candidates for any point within cell_h of
+    # a segment; a winner under cell_h is provably globally nearest
+    sure = best.filter(F.col("road_dist") <= F.lit(cell_h))
+    unresolved = pts.join(sure.select(pid), on=pid, how="left_anti")
+    brute = unresolved.crossJoin(segs).groupBy(pid).agg(
+        F.min_by(F.col("seg_id"), dist).alias("seg_id"),
+        F.min(dist).alias("road_dist"),
+    )
+    return points.join(sure.unionByName(brute), on=pid)
+
+
+def classify_by_distance(
+    joined: DataFrame, threshold: float,
+    near_label: str = "near_road", far_label: str = "off_road",
+) -> DataFrame:
+    """J13: label by the ε-threshold on the nearest distance (the exact
+    form of the reference's buffered-intersects)."""
+    return joined.withColumn(
+        "road_class",
+        F.when(F.col("road_dist") <= F.lit(threshold), F.lit(near_label)).otherwise(
+            F.lit(far_label)
+        ),
+    )

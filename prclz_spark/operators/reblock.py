@@ -138,6 +138,7 @@ def reblock(
     blocks: DataFrame,
     point_id: str = "image_id",
     emit: str = "edges",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed reblocking. ``parcels``: operators.parcel.parcelize
     output; ``assigned_points``: (block_id, point_id, lon, lat);
@@ -194,8 +195,15 @@ def reblock(
         )
 
     schema = REBLOCK_EDGES_SCHEMA if emit == "edges" else REBLOCK_SUMMARY_SCHEMA
+    # explicit hash partition count: the Steiner kernel is the most
+    # CPU-expensive stage in the engine; never let byte-based AQE
+    # coalescing underparallelize it (see complexity.k_complexity)
+    n = num_partitions or (
+        parcels.sparkSession.sparkContext.defaultParallelism * 2
+    )
     return (
-        both.groupBy("block_id")
-        .cogroup(blocks.groupBy("block_id"))
+        both.repartition(n, "block_id")
+        .groupBy("block_id")
+        .cogroup(blocks.repartition(n, "block_id").groupBy("block_id"))
         .applyInPandas(per_block, schema)
     )
