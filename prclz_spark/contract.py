@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import cells
+from .functions import cells, geodesy
 from .operators import (
     assign,
     blocks,
@@ -41,7 +41,7 @@ from .operators import (
     text,
     tiles,
 )
-from .sources import synth
+from .sources import synth, wkt
 
 # ---------------------------------------------------------------------------
 # fixture plumbing
@@ -373,6 +373,122 @@ def _sql_spatial_road_dist(sf_dir):
                case when {d} <= {ROAD_EPS} then 'near_road' else 'off_road' end
                  as road_class
         from pts
+    """
+
+
+def _q_spatial_largest_overlap(spark, sf_dir):
+    """J5 largest-overlap join (st_join largest=TRUE): square features
+    centered on image points assigned to the block of max overlap area.
+    Oracle: the containing block always wins (overlap in each axis >= half
+    the feature side), with the clamped-product closed form."""
+    pts = _img_points(spark, sf_dir)
+    h = OVL_SIDE / 2.0
+    ring = F.array(
+        F.array(F.col("lon") - h, F.col("lat") - h),
+        F.array(F.col("lon") + h, F.col("lat") - h),
+        F.array(F.col("lon") + h, F.col("lat") + h),
+        F.array(F.col("lon") - h, F.col("lat") + h),
+    )
+    feats = pts.select(F.col("image_id"), ring.alias("geometry"))
+    cover_pdf = _grid_cover(spark)
+    cover = spark.createDataFrame(cover_pdf[["cell", "block_id", "geometry"]])
+    out = assign.largest_overlap_assign(
+        feats, cover, PIP_RES, feature_id="image_id"
+    )
+    return out.select(
+        "image_id", "block_id", F.round("overlap", 12).alias("overlap_r12")
+    )
+
+
+def _sql_spatial_largest_overlap(sf_dir):
+    h = OVL_SIDE / 2.0
+    gx = f"cast(floor((lon - {synth.AOI_LON0}) / {STEP!r}) as bigint)"
+    gy = f"cast(floor((lat - {synth.AOI_LAT0}) / {STEP!r}) as bigint)"
+    bx0 = f"({synth.AOI_LON0} + ({gx}) * {STEP!r})"
+    by0 = f"({synth.AOI_LAT0} + ({gy}) * {STEP!r})"
+    ox = f"(least(lon + {h!r}, {bx0} + {STEP!r}) - greatest(lon - {h!r}, {bx0}))"
+    oy = f"(least(lat + {h!r}, {by0} + {STEP!r}) - greatest(lat - {h!r}, {by0}))"
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select image_id, {_grid_block_sql()} as block_id,
+               round({ox} * {oy}, 12) as overlap_r12
+        from pts
+    """
+
+
+def _q_fn_geodesy(spark, sf_dir):
+    """F17 haversine + F19 mercator reprojection as JVM column functions."""
+    pts = _img_points(spark, sf_dir)
+    c_lon = synth.AOI_LON0 + synth.AOI_SPAN / 2.0
+    c_lat = synth.AOI_LAT0 + synth.AOI_SPAN / 2.0
+    return pts.select(
+        "image_id",
+        F.round(
+            geodesy.haversine_m_col(
+                F.col("lon"), F.col("lat"), F.lit(c_lon), F.lit(c_lat)
+            ),
+            6,
+        ).alias("dist_center_m_r6"),
+        F.round(geodesy.mercator_x_col(F.col("lon")), 3).alias("merc_x_r3"),
+        F.round(geodesy.mercator_y_col(F.col("lat")), 3).alias("merc_y_r3"),
+    )
+
+
+def _sql_fn_geodesy(sf_dir):
+    c_lon = synth.AOI_LON0 + synth.AOI_SPAN / 2.0
+    c_lat = synth.AOI_LAT0 + synth.AOI_SPAN / 2.0
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select image_id,
+               round({geodesy.haversine_m_sql('lon', 'lat', str(c_lon), str(c_lat))}, 6)
+                 as dist_center_m_r6,
+               round({geodesy.mercator_x_sql('lon')}, 3) as merc_x_r3,
+               round({geodesy.mercator_y_sql('lat')}, 3) as merc_y_r3
+        from pts
+    """
+
+
+def _wkt_csv_path() -> str:
+    """Deterministic CSV-with-WKT fixture (S3 source format)."""
+    path = os.path.join(_DATA_DIR, f"blocks_wkt_{GRID_G}.csv")
+    if not os.path.exists(path):
+        os.makedirs(_DATA_DIR, exist_ok=True)
+        blocks_pdf = synth.grid_blocks(GRID_G)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("block_id,geometry\n")
+            for r in blocks_pdf.itertuples(index=False):
+                f.write(f'{r.block_id},"{wkt.ring_to_wkt(r.geometry)}"\n')
+        os.replace(tmp, path)
+    return path
+
+
+def _q_src_wkt_scan(spark, sf_dir):
+    """S3 CSV-with-WKT scan: vectorized WKT parse + uniqueness gate; the
+    oracle recomputes the bounds closed-form from the minted id, so a
+    parse bug cannot agree with it."""
+    path = _wkt_csv_path()
+    df = wkt.read_wkt_csv(spark, path)
+    b = wkt.wkt_bounds_udf()(F.col("geometry")).alias("b")
+    return df.select("block_id", b).select(
+        "block_id",
+        F.round(F.col("b.x0"), 9).alias("x0_r9"),
+        F.round(F.col("b.y0"), 9).alias("y0_r9"),
+        F.round(F.col("b.x1"), 9).alias("x1_r9"),
+        F.round(F.col("b.y1"), 9).alias("y1_r9"),
+    )
+
+
+def _sql_src_wkt_scan(sf_dir):
+    _wkt_csv_path()  # materialize for parity (oracle uses closed form)
+    return f"""
+        select concat('city_', cast(gy * {GRID_G} + gx as varchar)) as block_id,
+               round({synth.AOI_LON0} + gx * {STEP!r}, 9) as x0_r9,
+               round({synth.AOI_LAT0} + gy * {STEP!r}, 9) as y0_r9,
+               round({synth.AOI_LON0} + (gx + 1) * {STEP!r}, 9) as x1_r9,
+               round({synth.AOI_LAT0} + (gy + 1) * {STEP!r}, 9) as y1_r9
+        from (select unnest(range(0, {GRID_G})) as gx),
+             (select unnest(range(0, {GRID_G})) as gy)
     """
 
 
@@ -929,6 +1045,9 @@ REGISTRY: dict[str, tuple] = {
     "spatial_parcels": (_q_spatial_parcels, _sql_spatial_parcels),
     "spatial_reblock": (_q_spatial_reblock, None),  # rows-only: Steiner MST not SQL-expressible
     "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
+    "spatial_largest_overlap": (_q_spatial_largest_overlap, _sql_spatial_largest_overlap),
+    "fn_geodesy": (_q_fn_geodesy, _sql_fn_geodesy),
+    "src_wkt_scan": (_q_src_wkt_scan, _sql_src_wkt_scan),
     # relational surface (P/J/A/W/U operator families)
     "rel_pricing_summary": (_q_rel_pricing_summary, _sql_rel_pricing_summary),
     "rel_topn_orders": (_q_rel_topn_orders, _sql_rel_topn_orders),
