@@ -988,7 +988,7 @@ def _q_img_metadata_stats(spark, sf_dir):
 def _sql_img_metadata_stats(sf_dir):
     return f"""
         select fmt, count(*) as n_images,
-               sum(cast(w as bigint) * cast(h as bigint)) as total_pixels,
+               cast(sum(cast(w as bigint) * cast(h as bigint)) as bigint) as total_pixels,
                count(distinct phash) as n_distinct_phash
         from read_parquet('{images_parquet_path(sf_dir)}')
         group by fmt

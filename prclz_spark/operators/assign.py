@@ -273,20 +273,29 @@ def largest_overlap_assign(
     cov = cover.withColumnRenamed("geometry", "block_geometry")
     if broadcast_cover:
         cov = F.broadcast(cov)
-    cand = feats.join(cov, on="cell", how="inner")
+    # a feature meets the same block through several cover cells — dedupe
+    # BEFORE the exact kernel so each (feature, block) pair is clipped once
+    cand = (
+        feats.join(cov, on="cell", how="inner")
+        .dropDuplicates([feature_id, "block_id"])
+    )
 
     @pandas_udf(T.DoubleType())
-    def overlap_area(feat_geom: pd.Series, block_geom: pd.Series) -> pd.Series:
+    def overlap_area(feat_geom: pd.Series, block_id: pd.Series, block_geom: pd.Series) -> pd.Series:
         out = np.zeros(len(feat_geom))
-        for i in range(len(feat_geom)):
-            fring = geom.ring_to_np(feat_geom.iloc[i])
-            bring = geom.ring_to_np(block_geom.iloc[i])
-            clipped = geom.clip_polygon_convex(bring, fring)
-            out[i] = geom.ring_area(clipped) if len(clipped) >= 3 else 0.0
+        codes, uniques = pd.factorize(block_id)
+        for k in range(len(uniques)):
+            ii = np.nonzero(codes == k)[0]
+            bring = geom.ring_to_np(block_geom.iloc[ii[0]])  # parse once/block
+            for i in ii:
+                fring = geom.ring_to_np(feat_geom.iloc[i])
+                clipped = geom.clip_polygon_convex(bring, fring)
+                out[i] = geom.ring_area(clipped) if len(clipped) >= 3 else 0.0
         return pd.Series(out)
 
     scored = cand.withColumn(
-        "overlap", overlap_area(F.col("geometry"), F.col("block_geometry"))
+        "overlap",
+        overlap_area(F.col("geometry"), F.col("block_id"), F.col("block_geometry")),
     ).filter(F.col("overlap") > 0)
     w = Window.partitionBy(feature_id).orderBy(F.desc("overlap"), F.asc("block_id"))
     return (

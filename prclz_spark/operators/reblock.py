@@ -70,18 +70,41 @@ def _on_boundary(p: tuple[float, float], bsegs: np.ndarray) -> bool:
     return bool(d.min() <= BOUNDARY_TOL)
 
 
+MAX_TERMINALS = 400  # straggler budget: the reference bounds per-block work
+# with a time threshold + skip (i_reblock.py:259-273, W4); the metric
+# closure is O(t² · Dijkstra) so a dense hotspot block (thousands of
+# points) must be capped — terminals beyond the cap are subsampled
+# deterministically (every k-th by insertion order).
+
+
 def reblock_kernel(
     block_ring: np.ndarray,
     parcel_rings: list[np.ndarray],
     terminals_xy: np.ndarray,
     simplify: bool = False,
+    max_terminals: int = MAX_TERMINALS,
+    max_nodes: int = 20_000,
 ) -> tuple[list[tuple[str, tuple, tuple, float]], dict]:
     """One block's Steiner reblocking. Returns (edges, summary): edges as
     (edge_type, a, b, length)."""
     t0 = time.time()
+    if max_terminals and len(terminals_xy) > max_terminals:
+        step = len(terminals_xy) / max_terminals
+        idx = (np.arange(max_terminals) * step).astype(int)
+        terminals_xy = np.asarray(terminals_xy)[idx]
     block_ring = geom.snap_ring(block_ring)
     g = PlanarGraph.from_polygons([geom.snap_ring(r) for r in parcel_rings])
     n_nodes_pre, n_edges_pre = g.number_of_nodes(), len(g.edges())
+    if max_nodes and n_nodes_pre > max_nodes:
+        # per-block work budget (reference mins_threshold, i_reblock.py:
+        # 268-273): a pathological block is skipped with a status row, the
+        # stage never stalls on one straggler
+        return [], {
+            "status": 3, "n_terminals": 0,
+            "n_nodes_pre": n_nodes_pre, "n_edges_pre": n_edges_pre,
+            "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
 
     # edge-type weighting: both endpoints on the block boundary → existing
     # road, weight 0 (i_topology_utils.py:197-252 ε-coincidence test)
