@@ -1,0 +1,126 @@
+"""Physical-plan regression tests: the optimizations the engine claims
+must be visible in `.explain` output — broadcast joins, pruned scans,
+Python confined to the boundary branch, explicit partition counts.
+
+These guard against silent plan regressions (e.g. a broadcast falling
+back to sort-merge, or a new Exchange sneaking in front of the fact
+side)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prclz_spark import contract
+from prclz_spark.operators import assign, complexity, knn, tiles
+from prclz_spark.sources import synth
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _points(spark, n=10_000):
+    base = spark.range(0, n, numPartitions=4)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    return base.select(F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat"))
+
+
+@pytest.fixture(scope="module")
+def cover():
+    return assign.block_cover_pdf(synth.grid_blocks(4), 15)
+
+
+def test_assign_plan_shape(spark, cover):
+    out = assign.assign_points_to_blocks(_points(spark), cover, 15)
+    p = _plan(out)
+    # cell prefilter is a broadcast hash join, not shuffled
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly one Python eval: the boundary-sliver PIP refine
+    assert p.count("ArrowEvalPython") == 1
+    # the fact (point) side is never exchanged before the join
+    assert "Exchange hashpartitioning(image_id" not in p
+
+
+def test_assign_scan_pruning(spark, tmp_path):
+    # predicate + column pruning must reach the parquet scan
+    path = str(tmp_path / "pts.parquet")
+    _points(spark, 5_000).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lon") > 10.1).select("image_id", "lon")
+    p = df.queryExecution if False else df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lon), GreaterThan(lon,10.1)" in p
+    assert "ReadSchema: struct<image_id:bigint,lon:double>" in p
+
+
+def test_knn_plan_broadcast(spark):
+    import pandas as pd
+
+    centers = synth.grid_blocks(4).copy()
+    centers["tx"] = [sum(p[0] for p in r) / 4.0 for r in centers.geometry]
+    centers["ty"] = [sum(p[1] for p in r) / 4.0 for r in centers.geometry]
+    tgt = spark.createDataFrame(
+        centers[["block_id", "tx", "ty"]].rename(columns={"block_id": "target_id"})
+    )
+    out = knn.knn_join(_points(spark), tgt, 14, target_id="target_id")
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "ArrowEvalPython" not in p  # kNN is fully JVM-side
+
+
+def test_tiles_rect_plan_jvm_only(spark):
+    bounds = contract._grid_bounds(spark)
+    out = tiles.tile_membership_rect(_points(spark), bounds, t=2, footprint=0.002)
+    p = _plan(out)
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastNestedLoopJoin" in p  # range-condition join on broadcast dim
+
+
+def test_k_complexity_explicit_partitions(spark, cover):
+    assigned = assign.assign_points_to_blocks(_points(spark), cover, 15)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(4))
+    out = complexity.k_complexity(assigned, blocks_sdf, num_partitions=24)
+    p = _plan(out)
+    # both cogroup sides carry the explicit 24-way hash partitioning
+    assert p.count("hashpartitioning(block_id") >= 2
+    assert "24)" in p.split("FlatMapCoGroupsInPandas")[1][:2000] or "24)" in p
+
+
+def test_assign_salted_equivalence(spark):
+    """Salted shuffle-join path (skew lever) returns the same assignment
+    as the broadcast path."""
+    pts = _points(spark, 3_000)
+    cover_pdf = assign.block_cover_pdf(synth.grid_blocks(4), 15)
+    base = assign.assign_points_to_blocks(pts, cover_pdf, 15).toPandas()
+    cov_sdf = spark.createDataFrame(cover_pdf)
+    salted = assign.assign_points_to_blocks(
+        pts, cov_sdf, 15, broadcast_cover=False, salt=4
+    ).toPandas()
+    a = base.sort_values("image_id")[["image_id", "block_id"]].reset_index(drop=True)
+    b = salted.sort_values("image_id")[["image_id", "block_id"]].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_tiles_poly_matches_rect_on_grid(spark):
+    """The generic polygon-clip tiling path agrees with the rectilinear
+    JVM path on axis-aligned blocks."""
+    pts = _points(spark, 500)
+    g = 4
+    bounds = spark.createDataFrame(
+        (lambda b: [
+            {"block_id": r.block_id,
+             "bx0": min(p[0] for p in r.geometry), "by0": min(p[1] for p in r.geometry),
+             "bx1": max(p[0] for p in r.geometry), "by1": max(p[1] for p in r.geometry)}
+            for r in b.itertuples(index=False)
+        ])(synth.grid_blocks(g))
+    )
+    rect = tiles.tile_membership_rect(pts, bounds, t=2, footprint=0.002).toPandas()
+    cover_pdf = assign.block_cover_pdf(synth.grid_blocks(g), 15)
+    cov_sdf = spark.createDataFrame(cover_pdf[["cell", "block_id", "geometry"]])
+    poly = tiles.tile_membership_poly(pts, cov_sdf, 15, t=2, footprint=0.002).toPandas()
+    key = ["image_id", "tile_row", "tile_col", "block_id"]
+    a = rect.sort_values(key).reset_index(drop=True)
+    b = poly.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a[key].values == b[key].values).all()
+    # clip+shoelace vs product form: abs area error ~1e-13 over tile areas
+    # ~1e-6 → relative agreement to ~1e-7
+    assert (abs(a.weight - b.weight) < 1e-6).all()
