@@ -956,6 +956,73 @@ def _sql_emb_near_dup(sf_dir):
 
 _LSH_PLANES = 8
 _EMB_DIM = 64
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+
+
+def _q_emb_ivf_topk(spark, sf_dir):
+    """IVF-approximate ANN: coarse-quantize to a fixed codebook, probe the
+    query's best cells, exact cosine inside them. The oracle replays the
+    identical codebook arithmetic in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    )
+
+
+def _sql_emb_ivf_topk(sf_dir):
+    cent_subq = similarity.ivf_centroid_sql(
+        "embeddings", _IVF_CENTROIDS, _EMB_DIM
+    )
+
+    def dot_with(c):
+        terms = []
+        for i in range(_EMB_DIM):
+            coef = similarity._ivf_centroid_coef(c, i)
+            if coef == 0:
+                continue
+            terms.append(f"cast(qv[{i + 1}] as double) * {float(coef)}")
+        return "(" + (" + ".join(terms) if terms else "0.0") + ")"
+
+    qscore_rows = "\n          union all\n          ".join(
+        f"select q_id, qv, {c} as centroid, {dot_with(c)} as s from qs"
+        for c in range(_IVF_CENTROIDS)
+    )
+    return f"""
+        with cent as (select * from {cent_subq}),
+        qs as (select vec_id as q_id, embedding as qv from embeddings where vec_id < 10),
+        qscore as (
+          {qscore_rows}
+        ),
+        probes as (
+          select q_id, qv, centroid from (
+            select q_id, qv, centroid,
+                   row_number() over (partition by q_id order by s desc, centroid asc) as pr
+            from qscore) where pr <= {_IVF_PROBE}
+        ),
+        cand as (
+          select p.q_id, p.qv, c.vec_id, c.embedding
+          from probes p join cent c using (centroid)
+          where c.vec_id <> p.q_id
+        ),
+        scored as (
+          select q_id, vec_id,
+                 round(list_dot_product(list_transform(qv, x -> cast(x as double)),
+                                        list_transform(embedding, x -> cast(x as double)))
+                   / sqrt(list_dot_product(list_transform(qv, x -> cast(x as double)),
+                                           list_transform(qv, x -> cast(x as double)))
+                        * list_dot_product(list_transform(embedding, x -> cast(x as double)),
+                                           list_transform(embedding, x -> cast(x as double)))), 6) as sim
+          from cand
+        )
+        select q_id, rank, neighbor_id from (
+          select q_id, vec_id as neighbor_id,
+                 row_number() over (partition by q_id order by sim desc, vec_id asc) as rank
+          from scored) where rank <= 5
+    """
 
 
 def _q_emb_lsh_buckets(spark, sf_dir):
@@ -1072,6 +1139,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
     "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
     "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
+    "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, None),  # rows-only: pixel decode

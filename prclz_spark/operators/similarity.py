@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_topk", "near_dup_pairs", "lsh_bucket", "lsh_plane_sql"]
+__all__ = [
+    "cosine_topk",
+    "near_dup_pairs",
+    "lsh_bucket",
+    "lsh_plane_sql",
+    "ivf_centroid",
+    "ivf_centroid_sql",
+    "ivf_topk",
+]
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -191,6 +199,128 @@ def lsh_bucket(
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def _ivf_centroid_coef(c: int, d: int) -> int:
+    """Deterministic centroid component in [-4, 4] (same LCG family as the
+    LSH planes but a different stream) — a fixed coarse codebook the SQL
+    oracle replays. A production deployment would train these with k-means
+    and broadcast them; the operator shape is identical."""
+    return ((c * 104729 + d * 31 + 17) * _LCG_A + _LCG_B) % _LCG_M % 9 - 4
+
+
+def _codebook(n_centroids: int, d: int) -> np.ndarray:
+    return np.array(
+        [[_ivf_centroid_coef(c, i) for i in range(d)] for c in range(n_centroids)],
+        dtype=np.float64,
+    )
+
+
+def ivf_centroid(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid): IVF coarse quantization — argmax over the codebook
+    of <v, c_j> (inner-product assignment). One GEMM per Arrow batch
+    (a 1000+-term Column expression would cost more in Catalyst analysis
+    than the whole job); np.argmax breaks ties to the lower centroid id,
+    matching the SQL oracle's first-equality scan."""
+    d = len(embeddings.select(vec_col).first()[0])
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(_codebook(n_centroids, d))
+
+    @F.pandas_udf("int")
+    def cent(v: pd.Series) -> pd.Series:
+        cb = bc.value
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series(np.argmax(mat @ cb.T, axis=1).astype(np.int32))
+
+    return embeddings.select(F.col(id_col), cent(F.col(vec_col)).alias("centroid"))
+
+
+def ivf_centroid_sql(table: str, n_centroids: int, d: int,
+                     vec_col: str = "embedding", extra_cols: str = "vec_id") -> str:
+    """Subquery computing the same centroid assignment: per-centroid dot
+    columns in one layer, greatest in the next, first-equality argmax on
+    top (named columns keep the SQL linear in n_centroids * d)."""
+    def dot_with(c: int) -> str:
+        terms = []
+        for i in range(d):
+            coef = _ivf_centroid_coef(c, i)
+            if coef == 0:
+                continue
+            terms.append(f"cast({vec_col}[{i + 1}] as double) * {float(coef)}")
+        return "(" + (" + ".join(terms) if terms else "0.0") + ")"
+
+    dots = ", ".join(f"{dot_with(c)} as s{c}" for c in range(n_centroids))
+    allc = ", ".join(f"s{c}" for c in range(n_centroids))
+    cases = " ".join(
+        f"when s{c} = g then {c}" for c in range(n_centroids - 1)
+    )
+    return f"""(
+        select {extra_cols}, {vec_col},
+               (case {cases} else {n_centroids - 1} end) as centroid
+        from (select {extra_cols}, {vec_col}, greatest({allc}) as g, {allc}
+              from (select {extra_cols}, {vec_col}, {dots} from {table}))
+    )"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF-approximate top-k: search only vectors whose centroid is among
+    the query's ``n_probe`` nearest centroids, then exact GEMM within the
+    probed cells. The 10^12-row shape: the centroid equi-join prunes the
+    scan to n_probe/n_centroids of the table before any distance math."""
+    spark = embeddings.sparkSession
+    d = len(embeddings.select(vec_col).first()[0])
+    codebook = _codebook(n_centroids, d)
+    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    scores = q_mat @ codebook.T
+    probes = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        {"q_id": int(q_pdf[query_id_col].iloc[i]), "centroid": int(c)}
+        for i in range(len(q_pdf))
+        for c in probes[i]
+    ]
+    probe_df = F.broadcast(spark.createDataFrame(pd.DataFrame(probe_rows)))
+
+    tagged = embeddings.join(
+        ivf_centroid(embeddings, n_centroids, id_col, vec_col), on=id_col
+    )
+    cand = tagged.join(probe_df, on="centroid")
+    q_for_join = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = cand.join(F.broadcast(q_for_join), on="q_id").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        bv = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = (av * bv).sum(1)
+        den = np.sqrt((av * av).sum(1) * (bv * bv).sum(1))
+        return pd.Series(np.round(num / den, 6))
+
+    scored = cand.withColumn("sim", cos(F.col("__qv"), F.col(vec_col)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col).alias("neighbor_id"))
+    )
 
 
 def lsh_plane_sql(vec_expr: str, n_planes: int, d: int) -> str:
