@@ -267,18 +267,32 @@ def largest_overlap_assign(
             )
 
     feats = features.mapInPandas(centroids, cen_schema)
-    feats = feats.withColumn(
+    feats_cells = feats.withColumn(
         "cell", F.explode(cells.kring_cells(F.col("lon"), F.col("lat"), res, 1))
     )
-    cov = cover.withColumnRenamed("geometry", "block_geometry")
+    # candidate (feature, block) pairs: dedupe on NARROW id columns only —
+    # deduping rows that carry nested-array geometries forces a slow
+    # object-based aggregate — then re-attach both geometries. The explicit
+    # partition count keeps the CPU-heavy clip stage wide (AQE would
+    # coalesce the byte-small shuffle).
+    n_part = features.sparkSession.sparkContext.defaultParallelism * 2
+    cov_ids = cover.select("cell", "block_id")
+    blocks_geo = cover.select(
+        "block_id", F.col("geometry").alias("block_geometry")
+    ).dropDuplicates(["block_id"])
     if broadcast_cover:
-        cov = F.broadcast(cov)
-    # a feature meets the same block through several cover cells — dedupe
-    # BEFORE the exact kernel so each (feature, block) pair is clipped once
-    cand = (
-        feats.join(cov, on="cell", how="inner")
+        cov_ids = F.broadcast(cov_ids)
+        blocks_geo = F.broadcast(blocks_geo)
+    pair_ids = (
+        feats_cells.select(feature_id, "cell")
+        .join(cov_ids, on="cell", how="inner")
+        .select(feature_id, "block_id")
+        .repartition(n_part, feature_id)
         .dropDuplicates([feature_id, "block_id"])
     )
+    cand = pair_ids.join(
+        feats.select(feature_id, "geometry"), on=feature_id
+    ).join(blocks_geo, on="block_id")
 
     @pandas_udf(T.DoubleType())
     def overlap_area(feat_geom: pd.Series, block_id: pd.Series, block_geom: pd.Series) -> pd.Series:
