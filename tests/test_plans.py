@@ -124,3 +124,30 @@ def test_tiles_poly_matches_rect_on_grid(spark):
     # clip+shoelace vs product form: abs area error ~1e-13 over tile areas
     # ~1e-6 → relative agreement to ~1e-7
     assert (abs(a.weight - b.weight) < 1e-6).all()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: a join of two tables
+    bucketed on the same key by the same count needs no Exchange — the
+    100-TB co-located-join strategy, demonstrated at fixture scale."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_li = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    try:
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+        li.write.bucketBy(8, "l_orderkey").saveAsTable(t_li)
+        j = spark.table(t_li).join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        # no shuffle on either join input (only the final agg exchanges)
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+        assert j.agg(F.sum("count")).first()[0] == li.count()
+    finally:
+        spark.sql(f"drop table if exists {t_o}")
+        spark.sql(f"drop table if exists {t_li}")
