@@ -197,6 +197,62 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
+def min_rotated_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated rectangle of a point set (rotating calipers
+    over hull edges): shapely's minimum_rotated_rectangle
+    (/root/reference/reblock/i_reblock.py:288 — F11). Returns the 4
+    corners CCW."""
+    hull = convex_hull(points)
+    if len(hull) <= 2:
+        # degenerate: axis-aligned bbox with zero thickness
+        x0, y0 = points.min(axis=0)
+        x1, y1 = points.max(axis=0)
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        L = np.hypot(*e)
+        if L < 1e-30:
+            continue
+        ux, uy = e / L  # edge direction; normal = (-uy, ux)
+        proj_u = hull @ np.array([ux, uy])
+        proj_v = hull @ np.array([-uy, ux])
+        area = proj_u.ptp() * proj_v.ptp()
+        if best is None or area < best[0] - 1e-18:
+            best = (area, ux, uy, proj_u.min(), proj_u.max(), proj_v.min(), proj_v.max())
+    _, ux, uy, u0, u1, v0, v1 = best
+    U = np.array([ux, uy])
+    V = np.array([-uy, ux])
+    return np.array([u0 * U + v0 * V, u1 * U + v0 * V, u1 * U + v1 * V, u0 * U + v1 * V])
+
+
+def outside_point(points: np.ndarray) -> tuple[float, float]:
+    """A deterministic point inside the min rotated rectangle but outside
+    the convex hull — the reference's synthetic 'outside' terminal
+    (minimum_rotated_rectangle.difference(convex_hull)
+    .representative_point(), i_reblock.py:287-291). Pick the MRR corner
+    farthest from the hull and step halfway from the hull surface toward
+    it: that midpoint is beyond the hull boundary yet inside the (convex)
+    rectangle. Falls back to the farthest corner itself when degenerate."""
+    hull = convex_hull(points)
+    rect = min_rotated_rect(points)
+    hsegs = np.stack([hull, np.roll(hull, -1, axis=0)], axis=1)
+    best = None
+    for cx, cy in rect:
+        d, qx, qy = seg_point_distance(
+            hsegs[:, 0, 0], hsegs[:, 0, 1], hsegs[:, 1, 0], hsegs[:, 1, 1],
+            np.full(len(hsegs), cx), np.full(len(hsegs), cy),
+        )
+        i = int(np.argmin(d))
+        if best is None or d[i] > best[0] + 1e-18:
+            best = (float(d[i]), cx, cy, float(qx[i]), float(qy[i]))
+    _, cx, cy, qx, qy = best
+    if abs(cx - qx) < 1e-15 and abs(cy - qy) < 1e-15:
+        return (cx, cy)
+    return ((cx + qx) / 2.0, (cy + qy) / 2.0)
+
+
 # ---------------------------------------------------------------------------
 # polygon clipping (Sutherland–Hodgman, convex clipper) — replaces
 # shapely .intersection for the Voronoi-cell-clip (prclz/complexity.py:28)

@@ -84,6 +84,7 @@ def reblock_kernel(
     simplify: bool = False,
     max_terminals: int = MAX_TERMINALS,
     max_nodes: int = 20_000,
+    outside_terminal: bool = True,
 ) -> tuple[list[tuple[str, tuple, tuple, float]], dict]:
     """One block's Steiner reblocking. Returns (edges, summary): edges as
     (edge_type, a, b, length)."""
@@ -121,6 +122,13 @@ def reblock_kernel(
     # terminal insertion (J10): snap each point onto its nearest edge
     for p in terminals_xy:
         g.add_node_to_closest_edge((float(p[0]), float(p[1])), terminal=True)
+    if outside_terminal and len(terminals_xy) >= 1:
+        # synthetic 'outside' terminal (i_reblock.py:286-291): connect the
+        # proposed roads to the world beyond the block — a point in the
+        # min-rotated-rect of the block but outside its hull, snapped onto
+        # the nearest mesh edge like any building
+        op = geom.outside_point(np.asarray(block_ring, dtype=float))
+        g.add_node_to_closest_edge((float(op[0]), float(op[1])), terminal=True)
     g = g.largest_component_subgraph()
     if simplify:
         g = g.simplify_degree2()

@@ -109,3 +109,48 @@ def test_parcelize_and_reblock_distributed(spark):
     edges = reblock.reblock(parcels, assigned, blocks_sdf, emit="edges").toPandas()
     assert set(edges.edge_type) <= {"existing", "new"}
     assert (edges.length >= 0).all()
+
+
+def test_min_rotated_rect_properties():
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        pts = rng.uniform(0, 1, (12, 2))
+        rect = geom.min_rotated_rect(pts)
+        assert rect.shape == (4, 2)
+        # contains every input point
+        for p in pts:
+            assert geom.point_in_polygon(p[0], p[1], rect) or geom.rect_polygon_overlap_area
+        a = np.array(pts)
+        bbox_area = a[:, 0].ptp() * a[:, 1].ptp()
+        assert geom.ring_area(rect) <= bbox_area + 1e-12  # never worse than AABB
+
+
+def test_min_rotated_rect_rotated_square():
+    # a 45-degree square: MRR area equals the square's own area, half the AABB's
+    s = np.array([[0.0, 1.0], [1.0, 0.0], [2.0, 1.0], [1.0, 2.0]])
+    rect = geom.min_rotated_rect(s)
+    assert abs(geom.ring_area(rect) - 2.0) < 1e-9
+
+
+def test_outside_point_is_outside_hull():
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        pts = rng.uniform(0, 1, (9, 2))
+        ox, oy = geom.outside_point(pts)
+        hull = geom.convex_hull(pts)
+        assert not geom.point_in_polygon(ox, oy, hull)
+        rect = geom.min_rotated_rect(pts)
+        # inside (or on) the rectangle
+        grown = rect.mean(axis=0) + (rect - rect.mean(axis=0)) * (1 + 1e-9)
+        assert geom.point_in_polygon(ox, oy, grown)
+
+
+def test_reblock_with_outside_terminal_connected():
+    pts = _pts(20, seed=8)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(20)], pts)
+    edges, s = reblock_kernel(RING, [c for _, c in parcels], pts, outside_terminal=True)
+    assert s["status"] == 0
+    g = PlanarGraph()
+    for _, a, b, _ in edges:
+        g.add_edge(a, b)
+    assert len(g.connected_components()) == 1
