@@ -789,100 +789,29 @@ _SHINGLE_W = 3  # word 3-grams
 
 
 def _q_dedup_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.when(
-        F.size(toks) >= _SHINGLE_W,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_W - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_W)),
-        ),
-    ).otherwise(F.array())
-    sh_df = (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    """Exact shingle-Jaccard dedup with the hot-shingle candidate guard
+    (text.jaccard_pairs): candidates from df<=cap shingles, intersection
+    exact over all shingles. The oracle mirrors the same semantics."""
+    return text.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_w=_SHINGLE_W
     )
-    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pairs = (
-        sh_df.alias("x")
-        .join(sh_df.alias("y"), on="sh")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = (
-        pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
-        .withColumn(
-            "jaccard_r6",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard_r6") >= 0.5)
-        .select("d1", "d2", "jaccard_r6")
-    )
-    return jac
 
 
 def _sql_dedup_jaccard(sf_dir):
-    w = _SHINGLE_W
-    return f"""
-        with sh as (
-          select distinct doc_id, unnest(list_transform(
-                   range(1, greatest(len(string_split(text,' ')) - {w - 1}, 0) + 1),
-                   i -> array_to_string((string_split(text,' '))[i:i+{w - 1}], ' '))) as sh
-          from documents
-        ),
-        sizes as (select doc_id, count(*) as sz from sh group by 1),
-        pairs as (
-          select x.doc_id as d1, y.doc_id as d2, count(*) as inter
-          from sh x join sh y using (sh)
-          where x.doc_id < y.doc_id
-          group by 1, 2
-        )
-        select d1, d2,
-               round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) as jaccard_r6
-        from pairs
-        join sizes s1 on s1.doc_id = d1
-        join sizes s2 on s2.doc_id = d2
-        where round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) >= 0.5
-    """
+    return text.jaccard_pairs_sql("documents", threshold=0.5, shingle_w=_SHINGLE_W)
 
 
 _MINHASH_BANDS = 8
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidates: per band b, signature = lexicographic min of
-    md5(b || shingle); docs sharing a band signature are candidates."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.when(
-        F.size(toks) >= _SHINGLE_W,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_W - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_W)),
-        ),
-    ).otherwise(F.array())
-    sh_df = d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
-    band = F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1))).alias("band")
-    sigs = (
-        sh_df.select("doc_id", "sh", band)
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh")))).alias("sig"))
+    """MinHash-LSH candidates (text.minhash_candidates): per band b,
+    signature = lexicographic min of md5(b || shingle); docs sharing a
+    band signature are candidates. Band minima are n_bands agg columns in
+    ONE groupBy(doc_id) + stack — the shuffle carries each shingle once."""
+    return text.minhash_candidates(
+        _t(spark, sf_dir, "documents"), n_bands=_MINHASH_BANDS, shingle_w=_SHINGLE_W
     )
-    cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), on=["band", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .agg(F.count("*").alias("n_bands_shared"))
-    )
-    return cand
 
 
 def _sql_dedup_minhash(sf_dir):
@@ -938,6 +867,8 @@ def _sql_emb_topk(sf_dir):
 
 
 def _q_emb_near_dup(spark, sf_dir):
+    """Exact near-dup via the distributed chunk-pair GEMM (no driver
+    collect anywhere in the plan)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs(e, threshold=0.42).select("v1", "v2")
 
@@ -958,6 +889,48 @@ _LSH_PLANES = 8
 _EMB_DIM = 64
 _IVF_CENTROIDS = 16
 _IVF_PROBE = 4
+_NDL_TABLES = 4  # near-dup LSH: tables × planes per table
+_NDL_PLANES = 8
+
+
+def _q_emb_near_dup_lsh(spark, sf_dir):
+    """Approximate near-dup at the 10^12-row shape: candidates = pairs
+    sharing an LSH bucket in any of the tables, exact cosine verify. The
+    oracle mirrors the identical candidate semantics, so the (bounded)
+    recall is a documented property, not a correctness gap."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_lsh(
+        e, threshold=0.42, n_tables=_NDL_TABLES, n_planes=_NDL_PLANES,
+        dim=_EMB_DIM,
+    ).select("v1", "v2")
+
+
+def _sql_emb_near_dup_lsh(sf_dir):
+    tables = "\n          union all\n          ".join(
+        f"select vec_id, {t} as tbl, "
+        + similarity.lsh_plane_sql("embedding", _NDL_PLANES, _EMB_DIM,
+                                   plane_offset=t * _NDL_PLANES)
+        + " as bucket from embeddings"
+        for t in range(_NDL_TABLES)
+    )
+    return f"""
+        with sigs as (
+          {tables}
+        ),
+        cand as (
+          select distinct x.vec_id as v1, y.vec_id as v2
+          from sigs x join sigs y using (tbl, bucket)
+          where x.vec_id < y.vec_id
+        ),
+        e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+              from embeddings)
+        select v1, v2
+        from cand
+        join e a on a.vec_id = v1
+        join e b on b.vec_id = v2
+        where round(list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.42
+    """
 
 
 def _q_emb_ivf_topk(spark, sf_dir):
@@ -969,7 +942,7 @@ def _q_emb_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ivf_topk(
-        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, dim=_EMB_DIM
     )
 
 
@@ -1027,7 +1000,7 @@ def _sql_emb_ivf_topk(sf_dir):
 
 def _q_emb_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_bucket(e, n_planes=_LSH_PLANES)
+    out = similarity.lsh_bucket(e, n_planes=_LSH_PLANES, dim=_EMB_DIM)
     return out.groupBy("bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
@@ -1138,6 +1111,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity search
     "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
     "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
+    "emb_near_dup_lsh": (_q_emb_near_dup_lsh, _sql_emb_near_dup_lsh),
     "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
     "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
     # multimodal

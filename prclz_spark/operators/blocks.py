@@ -111,15 +111,39 @@ def polygonize_lines(lines: list[np.ndarray], region_ring: np.ndarray | None = N
     return rings
 
 
+def _canonical_ring_key(r: np.ndarray) -> tuple:
+    """Full deterministic tiebreak for faces that tie on the rounded
+    (min-y, min-x, area) key: the ring's vertex tuple, rotated so the
+    lexicographically-smallest vertex leads and oriented toward the
+    smaller of the two traversals — identical regardless of which vertex
+    the face trace happened to start from."""
+    vs = [(round(float(x), 9), round(float(y), 9)) for x, y in r]
+    if len(vs) >= 2 and vs[0] == vs[-1]:
+        vs = vs[:-1]
+    if not vs:
+        return ()
+    i = min(range(len(vs)), key=lambda j: vs[j])
+    fwd = tuple(vs[i:] + vs[:i])
+    rev_vs = vs[i::-1] + vs[:i:-1]
+    rev = tuple(rev_vs)
+    return min(fwd, rev)
+
+
 def mint_block_ids(rings: list[np.ndarray], region_id: str
                    ) -> list[tuple[str, np.ndarray]]:
-    """Canonical (min-y, min-x, area) total order → '{region}_{i}'."""
+    """Canonical (min-y, min-x, area, canonical-vertex-tuple) total order
+    → '{region}_{i}'. The vertex-tuple tail guarantees a strict total
+    order even when two distinct faces tie on the rounded scalar key, so
+    ids never depend on shuffle/partition order."""
     keyed = []
     for r in rings:
         x0, y0, _, _ = geom.ring_bounds(r)
-        keyed.append((round(y0, 9), round(x0, 9), round(geom.ring_area(r), 12), r))
-    keyed.sort(key=lambda k: k[:3])
-    return [(f"{region_id}_{i}", r) for i, (_, _, _, r) in enumerate(keyed)]
+        keyed.append(
+            (round(y0, 9), round(x0, 9), round(geom.ring_area(r), 12),
+             _canonical_ring_key(r), r)
+        )
+    keyed.sort(key=lambda k: k[:4])
+    return [(f"{region_id}_{i}", r) for i, (*_, r) in enumerate(keyed)]
 
 
 BLOCKS_SCHEMA = T.StructType(

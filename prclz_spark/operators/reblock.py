@@ -50,7 +50,9 @@ REBLOCK_EDGES_SCHEMA = T.StructType(
 REBLOCK_SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("block_id", T.StringType()),
-        T.StructField("status", T.IntegerType()),  # 0 ok, 1 error, 2 skipped
+        # 0 ok | 1 error | 2 skipped (fewer than 2 terminals survive)
+        # | 3 skipped (max_nodes straggler budget hit)
+        T.StructField("status", T.IntegerType()),
         T.StructField("n_terminals", T.IntegerType()),
         T.StructField("n_nodes_pre", T.IntegerType()),
         T.StructField("n_edges_pre", T.IntegerType()),
@@ -89,6 +91,17 @@ def reblock_kernel(
     """One block's Steiner reblocking. Returns (edges, summary): edges as
     (edge_type, a, b, length)."""
     t0 = time.time()
+    if len(terminals_xy) <= 1:
+        # few-real-terminals skip (i_reblock.py:280-294): the reference
+        # guards ``len(buildings) <= 1`` BEFORE synthesizing the dummy
+        # outside terminal — a 1-building block is skipped, never reblocked
+        # against the synthetic terminal alone.
+        return [], {
+            "status": 2, "n_terminals": int(len(terminals_xy)),
+            "n_nodes_pre": 0, "n_edges_pre": 0,
+            "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
     if max_terminals and len(terminals_xy) > max_terminals:
         step = len(terminals_xy) / max_terminals
         idx = (np.arange(max_terminals) * step).astype(int)

@@ -32,6 +32,8 @@ from pyspark.sql import types as T
 __all__ = [
     "cosine_topk",
     "near_dup_pairs",
+    "near_dup_pairs_broadcast",
+    "near_dup_pairs_lsh",
     "lsh_bucket",
     "lsh_plane_sql",
     "ivf_centroid",
@@ -88,6 +90,12 @@ def cosine_topk(
             e = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             e = e / np.linalg.norm(e, axis=1, keepdims=True)
             sims = e @ qn.T  # (batch, n_queries)
+            # local selection must use the SAME total order as the global
+            # window (round(sim, d) desc, neighbor_id asc) — selecting by
+            # raw float could drop a candidate that rounds equal to the
+            # k-th but carries a lower id, making output depend on Arrow
+            # batch boundaries
+            sims_key = np.round(sims, round_digits) if round_digits is not None else sims
             out_q, out_n, out_s = [], [], []
             for j in range(len(ids_q)):
                 col = sims[:, j]
@@ -98,8 +106,8 @@ def cosine_topk(
                 if len(idx) == 0:
                     continue
                 take = min(k, len(idx))
-                # local top-k: partial-select then exact ordering
-                top = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                order = np.lexsort((ids_e[idx], -sims_key[idx, j]))
+                top = idx[order[:take]]
                 out_q.extend([ids_q[j]] * len(top))
                 out_n.extend(ids_e[top].tolist())
                 out_s.extend(col[top].tolist())
@@ -117,29 +125,101 @@ def cosine_topk(
     )
 
 
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("v1", T.LongType()),
+        T.StructField("v2", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    n_chunks: int = 8,
 ) -> DataFrame:
-    """All pairs (v1 < v2) with cosine >= threshold. Right side broadcast
-    as one matrix; each batch is a single GEMM, only over-threshold pairs
-    leave the executor. For tables too large to broadcast, compose
-    ``lsh_bucket`` + in-bucket pairing instead."""
+    """EXACT all pairs (v1 < v2) with cosine >= threshold, fully
+    distributed: rows are hashed into ``n_chunks`` chunks, every row is
+    replicated to the ``n_chunks`` unordered chunk-pair keys it belongs
+    to, and each (c1, c2) task runs ONE GEMM between the two sub-matrices
+    (upper triangle when c1 == c2). Nothing is collected to the driver;
+    per-task memory is ~2·N/n_chunks vectors, so size n_chunks ≈
+    N·dim·8B / (task budget). The O(N²) FLOPs are inherent to exactness —
+    at 10^12 rows use ``near_dup_pairs_lsh`` (bounded-recall candidates)
+    instead."""
+    thr = float(threshold)
+    rd = round_digits
+    B = int(n_chunks)
+
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).alias("ch"),
+    )
+    # each unordered pair {x, y} lives in exactly one chunk-pair key
+    # (min(ch_x, ch_y), max(ch_x, ch_y)); replicating each row to the B
+    # keys (min(ch,p), max(ch,p)) for p=0..B-1 covers them all, and the B
+    # keys are pairwise distinct (each p yields a different unordered
+    # pair), so no dedup stage is needed — the plan is explode → ONE
+    # shuffle on (k1,k2) → grouped GEMM
+    p = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("p")
+    keyed = e.select("vid", "v", "ch", p).select(
+        "vid", "v", "ch",
+        F.least(F.col("ch"), F.col("p")).alias("k1"),
+        F.greatest(F.col("ch"), F.col("p")).alias("k2"),
+    )
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"v1": [], "v2": [], "sim": []})
+        k1, k2 = int(pdf["k1"].iloc[0]), int(pdf["k2"].iloc[0])
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ch = pdf["ch"].to_numpy()
+        if k1 == k2:
+            sims = mat @ mat.T
+            if rd is not None:
+                sims = np.round(sims, rd)
+            li, rj = np.nonzero(np.triu(sims >= thr, 1) & (ids[:, None] != ids[None, :]))
+            a, b = ids[li], ids[rj]
+        else:
+            la, lb = ch == k1, ch == k2
+            sims = mat[la] @ mat[lb].T
+            if rd is not None:
+                sims = np.round(sims, rd)
+            li, rj = np.nonzero(sims >= thr)
+            a, b = ids[la][li], ids[lb][rj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"v1": lo, "v2": hi, "sim": sims[li, rj]})
+
+    return keyed.groupBy("k1", "k2").applyInPandas(pair_block, _PAIR_SCHEMA)
+
+
+def near_dup_pairs_broadcast(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Test-oracle form of exact near-dup: the WHOLE table is collected to
+    the driver and broadcast — refuses tables above ``max_rows``. Use
+    ``near_dup_pairs`` (distributed chunk-pair GEMM) in pipelines."""
     spark = embeddings.sparkSession
-    all_ids, all_mat = _collect_matrix(embeddings, id_col, vec_col)
+    all_ids, all_mat = _collect_matrix(embeddings.limit(max_rows + 1), id_col, vec_col)
+    if len(all_ids) > max_rows:
+        raise ValueError(
+            f"near_dup_pairs_broadcast: table exceeds max_rows={max_rows}; "
+            "use near_dup_pairs (distributed) instead"
+        )
     all_norm = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((all_ids, all_norm))
-
-    schema = T.StructType(
-        [
-            T.StructField("v1", T.LongType()),
-            T.StructField("v2", T.LongType()),
-            T.StructField("sim", T.DoubleType()),
-        ]
-    )
     thr = float(threshold)
     rd = round_digits
 
@@ -159,7 +239,65 @@ def near_dup_pairs(
                 {"v1": ids_l[li], "v2": ids_r[rj], "sim": sims[li, rj]}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(pairs, schema)
+    return embeddings.select(id_col, vec_col).mapInPandas(pairs, _PAIR_SCHEMA)
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate near-dup for tables where O(N²) is impossible: the
+    10^12-row composition promised by this module — candidates are pairs
+    sharing an ``lsh_bucket`` signature in ANY of ``n_tables`` independent
+    tables (table t uses planes [t·n_planes, (t+1)·n_planes)); exact
+    cosine verifies each candidate. Recall is bounded by the
+    sign-random-projection collision probability (1 - θ/π)^n_planes per
+    table — a deliberate, documented trade (the SQL oracle mirrors the
+    same candidate semantics, so verification is exact)."""
+    buckets = [
+        lsh_bucket(embeddings, n_planes, id_col, vec_col,
+                   plane_offset=t * n_planes, dim=dim)
+        .select(F.col(id_col), F.lit(t).alias("tbl"), "bucket")
+        for t in range(n_tables)
+    ]
+    sigs = buckets[0]
+    for b in buckets[1:]:
+        sigs = sigs.unionByName(b)
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), on=["tbl", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("v1"), F.col(f"y.{id_col}").alias("v2")
+        )
+        .distinct()
+    )
+    e1 = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("__e1"))
+    e2 = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("__e2"))
+    withv = cand.join(e1, "v1").join(e2, "v2")
+
+    rd = round_digits
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        bv = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = (av * bv).sum(1)
+        den = np.sqrt((av * av).sum(1) * (bv * bv).sum(1))
+        out = num / den
+        return pd.Series(np.round(out, rd) if rd is not None else out)
+
+    return (
+        withv.withColumn("sim", cos(F.col("__e1"), F.col("__e2")))
+        .filter(F.col("sim") >= float(threshold))
+        .select("v1", "v2", "sim")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -180,18 +318,22 @@ def lsh_bucket(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket): SimHash-style signature — bit p of ``bucket`` is the
-    sign of <v, h_p> for deterministic hyperplane h_p. JVM-side column
-    arithmetic only (no UDF): each dot product unrolls to a sum over
-    element_at terms, codegen keeps it in one stage."""
-    d = len(embeddings.select(vec_col).first()[0])
+    sign of <v, h_{plane_offset+p}> for deterministic hyperplane h. JVM-side
+    column arithmetic only (no UDF): each dot product unrolls to a sum over
+    element_at terms, codegen keeps it in one stage. ``plane_offset`` selects
+    an independent table from the same plane stream (multi-table LSH). Pass
+    ``dim`` to avoid the ``.first()`` driver action used as fallback."""
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     bucket = F.lit(0).cast("long")
     v = F.col(vec_col)
     for p in range(n_planes):
         dot = None
         for i in range(d):
-            c = _plane_coef(p, i)
+            c = _plane_coef(plane_offset + p, i)
             if c == 0:
                 continue
             term = F.element_at(v, i + 1).cast("double") * F.lit(float(c))
@@ -221,13 +363,15 @@ def ivf_centroid(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, centroid): IVF coarse quantization — argmax over the codebook
     of <v, c_j> (inner-product assignment). One GEMM per Arrow batch
     (a 1000+-term Column expression would cost more in Catalyst analysis
     than the whole job); np.argmax breaks ties to the lower centroid id,
-    matching the SQL oracle's first-equality scan."""
-    d = len(embeddings.select(vec_col).first()[0])
+    matching the SQL oracle's first-equality scan. Pass ``dim`` to avoid
+    the ``.first()`` driver action used as fallback."""
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(_codebook(n_centroids, d))
 
@@ -276,13 +420,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-approximate top-k: search only vectors whose centroid is among
     the query's ``n_probe`` nearest centroids, then exact GEMM within the
     probed cells. The 10^12-row shape: the centroid equi-join prunes the
-    scan to n_probe/n_centroids of the table before any distance math."""
+    scan to n_probe/n_centroids of the table before any distance math.
+    Pass ``dim`` to avoid the ``.first()`` driver action fallback."""
     spark = embeddings.sparkSession
-    d = len(embeddings.select(vec_col).first()[0])
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     codebook = _codebook(n_centroids, d)
     q_pdf = queries.select(query_id_col, vec_col).toPandas()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
@@ -296,7 +442,7 @@ def ivf_topk(
     probe_df = F.broadcast(spark.createDataFrame(pd.DataFrame(probe_rows)))
 
     tagged = embeddings.join(
-        ivf_centroid(embeddings, n_centroids, id_col, vec_col), on=id_col
+        ivf_centroid(embeddings, n_centroids, id_col, vec_col, dim=d), on=id_col
     )
     cand = tagged.join(probe_df, on="centroid")
     q_for_join = queries.select(
@@ -323,13 +469,13 @@ def ivf_topk(
     )
 
 
-def lsh_plane_sql(vec_expr: str, n_planes: int, d: int) -> str:
+def lsh_plane_sql(vec_expr: str, n_planes: int, d: int, plane_offset: int = 0) -> str:
     """The same bucket as ANSI SQL (DuckDB: 1-based list indexing)."""
     parts = []
     for p in range(n_planes):
         terms = []
         for i in range(d):
-            c = _plane_coef(p, i)
+            c = _plane_coef(plane_offset + p, i)
             if c == 0:
                 continue
             terms.append(f"cast({vec_expr}[{i + 1}] as double) * {float(c)}")

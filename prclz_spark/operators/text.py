@@ -156,6 +156,182 @@ def lang_id_sql(table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# shingling + MinHash-LSH + Jaccard dedup
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, w: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh): the distinct word ``w``-grams of each document —
+    the shared candidate-generation substrate for Jaccard and MinHash
+    dedup. One projection + explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
+def shingles_sql(table: str = "documents", w: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> str:
+    return f"""(
+        select distinct {id_col} as doc_id, unnest(list_transform(
+                 range(1, greatest(len(string_split({text_col},' ')) - {w - 1}, 0) + 1),
+                 i -> array_to_string((string_split({text_col},' '))[i:i+{w - 1}], ' '))) as sh
+        from {table}
+    )"""
+
+
+def minhash_signatures(df: DataFrame, n_bands: int = 8, shingle_w: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """(doc_id, band, sig): per band b, sig = lexicographic min of
+    md5('b|' || shingle) over the document's shingles.
+
+    Scale shape: the ``n_bands`` minima are computed as ``n_bands``
+    aggregate columns in ONE groupBy(doc_id) over the shingle rows, then
+    unpivoted with ``stack`` — the shuffle carries each shingle row once
+    (not ``n_bands`` times, the band-explode anti-pattern) and the stack
+    runs on n_docs rows, not n_shingles."""
+    sh_df = shingles(df, shingle_w, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("sh")))).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    per_doc = sh_df.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    return per_doc.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) as (band, sig)"
+    )
+
+
+def minhash_candidates(df: DataFrame, n_bands: int = 8, shingle_w: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """MinHash-LSH candidate pairs (d1 < d2, n_bands_shared): docs sharing
+    any band signature. The join key (band, sig) is a minhash bucket —
+    only near-identical docs collide, so the self-join fan-out is bounded
+    by duplicate-cluster size, not by corpus-wide shingle frequency."""
+    sigs = minhash_signatures(df, n_bands, shingle_w, text_col, id_col)
+    return (
+        sigs.alias("x")
+        .join(sigs.alias("y"), on=["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+JACCARD_MAX_DF = 20  # shingle document-frequency cap for candidate
+# generation: a shingle shared by f docs contributes f² join rows, so one
+# corpus-hot shingle ("of the and") would blow the self-join up
+# quadratically at scale. Shingles with df > cap are treated as
+# stop-shingles for CANDIDATE generation only — the exact intersection
+# still counts them (see jaccard_pairs) — so results are exact for every
+# pair that shares at least one sub-cap shingle.
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_w: int = 3,
+                  max_df: int = JACCARD_MAX_DF, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(d1, d2, jaccard_r6): exact shingle-Jaccard over candidate pairs.
+
+    Scale-safe plan: candidates come from a self-join on *rare* shingles
+    only (document frequency <= max_df, bounding per-key fan-out); the
+    intersection count is then made exact by adding back the overlap of
+    the two docs' *hot*-shingle sets (globally few, carried as small
+    per-doc arrays). A pair whose every shared shingle is hot is not a
+    candidate — the documented stop-shingle semantics, mirrored by the
+    SQL oracle."""
+    sh_df = shingles(df, shingle_w, text_col, id_col)
+    dfc = sh_df.groupBy("sh").agg(F.count("*").alias("dfc"))
+    flagged = sh_df.join(dfc, "sh")
+    rare = flagged.filter(F.col("dfc") <= max_df).select("doc_id", "sh")
+    hot_sets = (
+        flagged.filter(F.col("dfc") > max_df)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hot"))
+    )
+    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter_rare = (
+        rare.alias("x")
+        .join(rare.alias("y"), on="sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter_rare"))
+    )
+    h1 = hot_sets.select(F.col("doc_id").alias("d1"), F.col("hot").alias("hot1"))
+    h2 = hot_sets.select(F.col("doc_id").alias("d2"), F.col("hot").alias("hot2"))
+    inter = (
+        inter_rare.join(h1, "d1", "left")
+        .join(h2, "d2", "left")
+        .withColumn(
+            "inter",
+            F.col("inter_rare")
+            + F.when(
+                F.col("hot1").isNotNull() & F.col("hot2").isNotNull(),
+                F.size(F.array_intersect(F.col("hot1"), F.col("hot2"))),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard_r6",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_r6") >= threshold)
+        .select("d1", "d2", "jaccard_r6")
+    )
+
+
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                      shingle_w: int = 3, max_df: int = JACCARD_MAX_DF,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    """SQL mirror of jaccard_pairs: candidates from rare shingles, exact
+    intersection over ALL shingles of each candidate pair."""
+    sh = shingles_sql(table, shingle_w, text_col, id_col)
+    return f"""
+        with sh as (select * from {sh}),
+        dfc as (select sh, count(*) as dfc from sh group by 1),
+        rare as (select s.doc_id, s.sh from sh s join dfc using (sh)
+                 where dfc <= {max_df}),
+        cand as (
+          select x.doc_id as d1, y.doc_id as d2
+          from rare x join rare y using (sh)
+          where x.doc_id < y.doc_id
+          group by 1, 2
+        ),
+        inter as (
+          select c.d1, c.d2, count(*) as inter
+          from cand c
+          join sh a on a.doc_id = c.d1
+          join sh b on b.doc_id = c.d2 and b.sh = a.sh
+          group by 1, 2
+        ),
+        sizes as (select doc_id, count(*) as sz from sh group by 1)
+        select d1, d2,
+               round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) as jaccard_r6
+        from inter
+        join sizes s1 on s1.doc_id = d1
+        join sizes s2 on s2.doc_id = d2
+        where round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprint
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,12 @@ def run_pipeline(
         assigned_new = assign_op.assign_points_to_blocks(todo, cover, res)
         store.commit(assigned_new, ASSIGN_TABLE, "cell_prefix", stage=ASSIGN_TABLE)
     assigned = store.read(spark, ASSIGN_TABLE)
+    if assigned is None:
+        # no snapshot was ever committed (n_images == 0, or every point
+        # fell outside all blocks) — short-circuit stage 2 cleanly instead
+        # of crashing on a None frame
+        computed[COMPLEXITY_TABLE] = 0
+        return computed
 
     # -- stage 2: k-complexity per block, partitioned by block's prefix ----
     blocks_sdf = spark.createDataFrame(blocks_pdf)
