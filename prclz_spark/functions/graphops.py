@@ -349,13 +349,23 @@ class PlanarGraph:
 
     def simplify_degree2(self) -> "PlanarGraph":
         """Degree-2 chain contraction (reblock/i_topology.py:506-556):
-        collapse through non-terminal degree-2 nodes, summing weights."""
+        collapse through non-terminal degree-2 nodes, summing weights. The
+        contracted chain is retained per edge (the reference's ``path``
+        edge attribute, i_topology.py:543-556) so ``expand_edges`` can
+        re-expand a Steiner result into the original segments
+        (i_topology.py:347-365). When two keep-nodes are linked by
+        parallel chains (a multigraph the dict adjacency cannot hold),
+        the lighter chain wins, ties broken by the lexicographically
+        smaller node path — deterministic at any traversal order."""
         keep = {
             n
             for n in self.adj
             if len(self.adj[n]) != 2 or self.terminal.get(n, False)
         }
         sub = PlanarGraph()
+        # chain per contracted edge: frozenset((a,b)) -> (nodes, seg_weights)
+        sub.chains: dict[frozenset, tuple[list[Coord], list[float]]] = {}
+        best: dict[frozenset, tuple[float, tuple, list[Coord], list[float]]] = {}
         visited_edges: set[frozenset] = set()
         for start in keep:
             for nbr in self.adj[start]:
@@ -363,19 +373,47 @@ class PlanarGraph:
                     continue
                 # walk the chain
                 path = [start, nbr]
-                w = self.adj[start][nbr]
+                ws = [self.adj[start][nbr]]
                 while path[-1] not in keep:
                     u = path[-1]
                     nxts = [x for x in self.adj[u] if x != path[-2]]
                     if not nxts:
                         break
                     path.append(nxts[0])
-                    w += self.adj[u][nxts[0]]
+                    ws.append(self.adj[u][nxts[0]])
                 for a, b in zip(path, path[1:]):
                     visited_edges.add(frozenset((a, b)))
                 if path[-1] in keep and path[0] != path[-1]:
-                    sub.add_edge(path[0], path[-1], w)
+                    key = frozenset((path[0], path[-1]))
+                    w = float(sum(ws))
+                    cand = (w, tuple(min(path, path[::-1])), path, ws)
+                    if key not in best or cand[:2] < best[key][:2]:
+                        best[key] = cand
+        for key, (w, _, path, ws) in best.items():
+            sub.add_edge(path[0], path[-1], w)
+            sub.chains[key] = (path, ws)
         for n in keep:
             if self.terminal.get(n, False):
                 sub.terminal[n] = True
         return sub
+
+    def expand_edges(
+        self, edges: list[tuple[Coord, Coord]]
+    ) -> list[tuple[Coord, Coord, float]]:
+        """Re-expand contracted edges into their original segments with
+        per-segment weights (i_topology.py:347-365): a (u, v) chosen on a
+        simplified graph maps back to its stored chain; an uncontracted
+        edge maps to itself with its own weight."""
+        chains = getattr(self, "chains", {})
+        out: list[tuple[Coord, Coord, float]] = []
+        for u, v in edges:
+            key = frozenset((u, v))
+            if key in chains:
+                path, ws = chains[key]
+                if path[0] != u:  # orient the chain u -> v
+                    path, ws = path[::-1], ws[::-1]
+                for (a, b), w in zip(zip(path, path[1:]), ws):
+                    out.append((a, b, float(w)))
+            else:
+                out.append((u, v, float(self.adj[u][v])))
+        return out

@@ -2,15 +2,20 @@
 to the existing road network through the parcel mesh.
 
 Reference entry point 3 (/root/reference/reblock/i_reblock.py:231-323):
-per block, parcel MULTILINESTRING → igraph; edges coincident with the
-block boundary get weight 0 ('highway', existing roads —
-i_topology_utils.py:197-252); each building centroid snaps onto the
-nearest parcel edge as a terminal (J10 kNN insert, i_topology.py:377-434);
-keep the largest connected component (i_reblock.py:41-54); compute the
-2-2/t Steiner approximation over the terminals (steiner_tree.py:69-95);
-split the resulting edges into existing (weight 0) vs new roads
-(i_topology.py:469-486); persist per-block timing/size metrics
-(i_reblock.py:152-158).
+per block, parcel MULTILINESTRING → igraph; buildings whose parcel touches
+the block boundary are dropped from the terminal set — they already abut
+an existing road (i_reblock.py:168-210); block-boundary edges are
+relabeled per boundary segment via a shortest-path walk and weighted by
+feature type — highway 0, waterway/natural 1e5
+(i_topology_utils.py:33-35, 197-252); each surviving building centroid
+snaps onto the nearest parcel edge as a terminal (J10 kNN insert,
+i_topology.py:377-434); keep the largest connected component
+(i_reblock.py:41-54); contract degree-2 chains (i_topology.py:506-556),
+compute the 2-2/t Steiner approximation over the terminals
+(steiner_tree.py:69-95), and re-expand contracted chains into the
+original segments (i_topology.py:347-365); split the result into
+existing (weight 0) vs new roads (i_topology.py:469-486); persist
+per-block timing/size metrics (i_reblock.py:152-158).
 
 Spark shape (SURVEY.md §3.3): ``parcels ⨝ points ⨝ blocks →
 repartition by block → applyInPandas(steiner_reblock)``. Work per block is
@@ -34,6 +39,10 @@ from ..functions import geom
 from ..functions.graphops import PlanarGraph
 
 BOUNDARY_TOL = 1e-9
+# reference feature-type weights (i_topology_utils.py:33-35)
+WATERWAY_WEIGHT = 1e5
+NATURAL_WEIGHT = 1e5
+BARRIER_TYPES = ("waterway", "natural")
 
 REBLOCK_EDGES_SCHEMA = T.StructType(
     [
@@ -64,14 +73,6 @@ REBLOCK_SUMMARY_SCHEMA = T.StructType(
 )
 
 
-def _on_boundary(p: tuple[float, float], bsegs: np.ndarray) -> bool:
-    d, _, _ = geom.seg_point_distance(
-        bsegs[:, 0, 0], bsegs[:, 0, 1], bsegs[:, 1, 0], bsegs[:, 1, 1],
-        np.full(len(bsegs), p[0]), np.full(len(bsegs), p[1]),
-    )
-    return bool(d.min() <= BOUNDARY_TOL)
-
-
 MAX_TERMINALS = 400  # straggler budget: the reference bounds per-block work
 # with a time threshold + skip (i_reblock.py:259-273, W4); the metric
 # closure is O(t² · Dijkstra) so a dense hotspot block (thousands of
@@ -79,23 +80,110 @@ MAX_TERMINALS = 400  # straggler budget: the reference bounds per-block work
 # deterministically (every k-th by insertion order).
 
 
+def _boundary_segments(block_ring: np.ndarray) -> np.ndarray:
+    b = block_ring
+    if len(b) >= 2 and np.array_equal(b[0], b[-1]):
+        b = b[:-1]
+    return np.stack([b, np.roll(b, -1, axis=0)], axis=1)
+
+
+def _ring_touches_boundary(ring: np.ndarray, bsegs: np.ndarray,
+                           tol: float = BOUNDARY_TOL) -> bool:
+    """True when any vertex of ``ring`` lies on the block boundary — for
+    parcels clipped to the block this is equivalent to a 1-D touch
+    (a clipped cell that reaches the boundary has clip vertices on it)."""
+    d, _, _ = geom.seg_point_distance(
+        np.repeat(bsegs[:, 0, 0], len(ring)), np.repeat(bsegs[:, 0, 1], len(ring)),
+        np.repeat(bsegs[:, 1, 0], len(ring)), np.repeat(bsegs[:, 1, 1], len(ring)),
+        np.tile(ring[:, 0], len(bsegs)), np.tile(ring[:, 1], len(bsegs)),
+    )
+    return bool(d.min() <= tol)
+
+
+def _relabel_boundary_edges(
+    g: PlanarGraph,
+    block_ring: np.ndarray,
+    boundary_types: list[str] | None,
+) -> None:
+    """update_edge_types (i_topology_utils.py:197-252): for each block
+    boundary segment (n0, n1), walk the parcel graph's shortest path
+    between the two vertices and relabel those edges by the segment's
+    feature type — 'highway' → weight 0 (existing road), waterway/natural
+    → 1e5 (barrier), anything else (gadm_boundary) keeps its length
+    weight. Missing vertices skip the segment, as in the reference."""
+    b = block_ring
+    if len(b) >= 2 and np.array_equal(b[0], b[-1]):
+        b = b[:-1]
+    n = len(b)
+    for i in range(n):
+        t = boundary_types[i] if boundary_types is not None else "highway"
+        n0 = (float(b[i][0]), float(b[i][1]))
+        n1 = (float(b[(i + 1) % n][0]), float(b[(i + 1) % n][1]))
+        if n0 not in g.adj or n1 not in g.adj:
+            continue
+        _, path = g.shortest_path(n0, n1)
+        for u, v in zip(path, path[1:]):
+            if t == "highway":
+                g.adj[u][v] = 0.0
+                g.adj[v][u] = 0.0
+                g.mark_road(u, v)
+            elif t in BARRIER_TYPES:
+                w = WATERWAY_WEIGHT if t == "waterway" else NATURAL_WEIGHT
+                g.adj[u][v] = w
+                g.adj[v][u] = w
+            # else: gadm_boundary — keep the length weight
+
+
 def reblock_kernel(
     block_ring: np.ndarray,
     parcel_rings: list[np.ndarray],
     terminals_xy: np.ndarray,
-    simplify: bool = False,
+    simplify: bool = True,
     max_terminals: int = MAX_TERMINALS,
     max_nodes: int = 20_000,
     outside_terminal: bool = True,
+    terminal_cells: np.ndarray | None = None,
+    drop_boundary_parcels: bool = True,
+    boundary_types: list[str] | None = None,
 ) -> tuple[list[tuple[str, tuple, tuple, float]], dict]:
     """One block's Steiner reblocking. Returns (edges, summary): edges as
-    (edge_type, a, b, length)."""
+    (edge_type, a, b, length).
+
+    ``terminal_cells`` pairs each terminal with its parcel (index into
+    ``parcel_rings``, -1 = unknown) so the reference's
+    drop_buildings_intersecting_block pre-step (i_reblock.py:168-210) can
+    exclude points whose parcel touches the block boundary — they already
+    abut an existing road. ``boundary_types`` carries one feature type per
+    block-boundary segment ('highway' | 'waterway' | 'natural' |
+    'gadm_boundary'); default all-highway matches the reference's
+    lines_pgraph=None path."""
     t0 = time.time()
+    block_ring = geom.snap_ring(block_ring)
+    snapped = [geom.snap_ring(r) for r in parcel_rings]
+    terminals_xy = np.asarray(terminals_xy, dtype=float).reshape(-1, 2)
+
+    if (
+        drop_boundary_parcels
+        and terminal_cells is not None
+        and len(terminals_xy) > 0
+        and len(snapped) > 0
+    ):
+        bsegs = _boundary_segments(block_ring)
+        touches = np.array(
+            [_ring_touches_boundary(r, bsegs) for r in snapped], dtype=bool
+        )
+        cells = np.asarray(terminal_cells, dtype=int)
+        keep = np.array(
+            [c < 0 or not touches[c] for c in cells], dtype=bool
+        )
+        terminals_xy = terminals_xy[keep]
+
     if len(terminals_xy) <= 1:
         # few-real-terminals skip (i_reblock.py:280-294): the reference
-        # guards ``len(buildings) <= 1`` BEFORE synthesizing the dummy
-        # outside terminal — a 1-building block is skipped, never reblocked
-        # against the synthetic terminal alone.
+        # guards ``len(buildings) <= 1`` AFTER the boundary-parcel filter
+        # but BEFORE synthesizing the dummy outside terminal — a block
+        # left with <=1 building is skipped, never reblocked against the
+        # synthetic terminal alone.
         return [], {
             "status": 2, "n_terminals": int(len(terminals_xy)),
             "n_nodes_pre": 0, "n_edges_pre": 0,
@@ -105,9 +193,8 @@ def reblock_kernel(
     if max_terminals and len(terminals_xy) > max_terminals:
         step = len(terminals_xy) / max_terminals
         idx = (np.arange(max_terminals) * step).astype(int)
-        terminals_xy = np.asarray(terminals_xy)[idx]
-    block_ring = geom.snap_ring(block_ring)
-    g = PlanarGraph.from_polygons([geom.snap_ring(r) for r in parcel_rings])
+        terminals_xy = terminals_xy[idx]
+    g = PlanarGraph.from_polygons(snapped)
     n_nodes_pre, n_edges_pre = g.number_of_nodes(), len(g.edges())
     if max_nodes and n_nodes_pre > max_nodes:
         # per-block work budget (reference mins_threshold, i_reblock.py:
@@ -120,22 +207,14 @@ def reblock_kernel(
             "wall_ms": int((time.time() - t0) * 1000),
         }
 
-    # edge-type weighting: both endpoints on the block boundary → existing
-    # road, weight 0 (i_topology_utils.py:197-252 ε-coincidence test)
-    b = block_ring
-    if len(b) >= 2 and np.array_equal(b[0], b[-1]):
-        b = b[:-1]
-    bsegs = np.stack([b, np.roll(b, -1, axis=0)], axis=1)
-    for u, v in g.edges():
-        if _on_boundary(u, bsegs) and _on_boundary(v, bsegs):
-            g.adj[u][v] = 0.0
-            g.adj[v][u] = 0.0
-            g.mark_road(u, v)
+    # edge-type weighting: per-boundary-segment shortest-path relabel
+    # (i_topology_utils.py:197-252) with the reference feature weights
+    _relabel_boundary_edges(g, block_ring, boundary_types)
 
     # terminal insertion (J10): snap each point onto its nearest edge
     for p in terminals_xy:
         g.add_node_to_closest_edge((float(p[0]), float(p[1])), terminal=True)
-    if outside_terminal and len(terminals_xy) >= 1:
+    if outside_terminal:
         # synthetic 'outside' terminal (i_reblock.py:286-291): connect the
         # proposed roads to the world beyond the block — a point in the
         # min-rotated-rect of the block but outside its hull, snapped onto
@@ -143,9 +222,8 @@ def reblock_kernel(
         op = geom.outside_point(np.asarray(block_ring, dtype=float))
         g.add_node_to_closest_edge((float(op[0]), float(op[1])), terminal=True)
     g = g.largest_component_subgraph()
-    if simplify:
-        g = g.simplify_degree2()
-    n_terminals = sum(1 for t in g.terminal.values() if t)
+    work = g.simplify_degree2() if simplify else g
+    n_terminals = sum(1 for t in work.terminal.values() if t)
     if n_terminals < 2:
         return [], {
             "status": 2, "n_terminals": n_terminals,
@@ -154,11 +232,13 @@ def reblock_kernel(
             "wall_ms": int((time.time() - t0) * 1000),
         }
 
-    steiner = g.steiner_tree_approx()
+    steiner = work.steiner_tree_approx()
+    # re-expand contracted chains into original segments with their own
+    # weights, so the existing/new split happens per original edge
+    segments = work.expand_edges(steiner)
     edges = []
     new_len = existing_len = 0.0
-    for u, v in steiner:
-        w = g.adj[u][v]
+    for u, v, w in segments:
         L = float(np.hypot(u[0] - v[0], u[1] - v[1]))
         if w == 0.0:
             edges.append(("existing", u, v, L))
@@ -183,22 +263,37 @@ def reblock(
     point_id: str = "image_id",
     emit: str = "edges",
     num_partitions: int | None = None,
+    simplify: bool = True,
+    drop_boundary_parcels: bool = True,
 ) -> DataFrame:
     """Distributed reblocking. ``parcels``: operators.parcel.parcelize
     output; ``assigned_points``: (block_id, point_id, lon, lat);
-    ``blocks``: (block_id, geometry). ``emit``: 'edges' (steiner edge rows)
-    or 'summary' (per-block metrics, the reference's timing/size columns).
+    ``blocks``: (block_id, geometry[, boundary_types]). ``emit``: 'edges'
+    (steiner edge rows) or 'summary' (per-block metrics, the reference's
+    timing/size columns). ``boundary_types``, when present on the blocks
+    frame, carries one feature type per boundary ring segment and feeds
+    the reference's typed edge weighting.
 
-    Implementation: parcels already carry block_id, so the kernel inputs
-    co-group on it — the only shuffle; blocks ride the (tiny) right side
-    of the cogroup."""
+    Implementation: parcels already carry block_id AND the owning point id
+    (parcel_point_id), so the kernel inputs co-group on block_id — the
+    only shuffle — and terminals pair with their parcels by id inside the
+    kernel (no geometric matching). Rows are sorted by pid in-kernel, so
+    results are independent of cogroup arrival order."""
     # single co-grouped stream: parcel rows carry their ring (>= 3 vertices),
-    # point rows a 1-vertex "ring" — disambiguated by length in the kernel
-    both = parcels.select("block_id", "geometry").unionByName(
+    # point rows a 1-vertex "ring" — disambiguated by length in the kernel;
+    # both carry the point id so the kernel can pair them
+    both = parcels.select(
+        "block_id", F.col("parcel_point_id").alias("pid"), "geometry"
+    ).unionByName(
         assigned_points.select(
             "block_id",
+            F.col(point_id).cast("string").alias("pid"),
             F.array(F.array(F.col("lon"), F.col("lat"))).alias("geometry"),
         )
+    )
+    has_btypes = "boundary_types" in blocks.columns
+    blk_cols = ["block_id", "geometry"] + (
+        ["boundary_types"] if has_btypes else []
     )
 
     def per_block(rows_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,15 +303,32 @@ def reblock(
             return pd.DataFrame(columns=ecols if emit == "edges" else scols)
         bid = blk_pdf["block_id"].iloc[0]
         ring = geom.ring_to_np(blk_pdf["geometry"].iloc[0])
-        prings, pts = [], []
-        for gvals in rows_pdf["geometry"]:
+        btypes = None
+        if has_btypes and blk_pdf["boundary_types"].iloc[0] is not None:
+            btypes = list(blk_pdf["boundary_types"].iloc[0])
+        prings: dict[str, np.ndarray] = {}
+        pts: dict[str, np.ndarray] = {}
+        for pid, gvals in zip(rows_pdf["pid"], rows_pdf["geometry"]):
             arr = geom.ring_to_np(gvals)
             if len(arr) == 1:
-                pts.append(arr[0])
+                pts[str(pid)] = arr[0]
             else:
-                prings.append(arr)
+                prings[str(pid)] = arr
+        # canonical order: sort by pid so kernel inputs (and therefore
+        # insertion order, subsampling, tie-breaks) are independent of
+        # shuffle arrival order
+        ring_ids = sorted(prings)
+        ring_idx = {pid: i for i, pid in enumerate(ring_ids)}
+        pt_ids = sorted(pts)
+        xy = np.array([pts[p] for p in pt_ids], dtype=float).reshape(-1, 2)
+        cells = np.array([ring_idx.get(p, -1) for p in pt_ids], dtype=int)
         try:
-            edges, summary = reblock_kernel(ring, prings, np.asarray(pts))
+            edges, summary = reblock_kernel(
+                ring, [prings[p] for p in ring_ids], xy,
+                simplify=simplify, terminal_cells=cells,
+                drop_boundary_parcels=drop_boundary_parcels,
+                boundary_types=btypes,
+            )
             summary["status"] = summary.get("status", 0)
         except Exception:
             edges, summary = [], {
@@ -248,6 +360,8 @@ def reblock(
     return (
         both.repartition(n, "block_id")
         .groupBy("block_id")
-        .cogroup(blocks.repartition(n, "block_id").groupBy("block_id"))
+        .cogroup(
+            blocks.select(*blk_cols).repartition(n, "block_id").groupBy("block_id")
+        )
         .applyInPandas(per_block, schema)
     )
