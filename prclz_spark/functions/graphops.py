@@ -222,6 +222,62 @@ class PlanarGraph:
             self.terminal[closest] = True
         return closest
 
+    def add_nodes_to_closest_edges(
+        self, pts: np.ndarray, terminal: bool = True
+    ) -> list[Coord]:
+        """Batch J10 insert: snap every point onto its nearest edge in ONE
+        vectorized pass. Geometrically equivalent to repeated
+        add_node_to_closest_edge because every split node lies ON its host
+        segment — the union of post-split subsegments equals the original
+        segment set, so each point's closest point against the original
+        edges equals its closest point against the evolving graph. Each
+        host edge is then split once into the chain of its assigned
+        projections ordered along the segment (the sequential insert
+        performs exactly these splits one at a time). O(k·m) vectorized
+        instead of k sequential O(m) edge-list rebuilds."""
+        from .geom import seg_point_distance
+
+        pts = np.asarray(pts, dtype=float).reshape(-1, 2)
+        if len(pts) == 0:
+            return []
+        edge_list = [e for e in self.edges() if e[0] != e[1]]
+        segs = np.asarray(edge_list, dtype=float)  # (m,2,2)
+        ax, ay = segs[:, 0, 0], segs[:, 0, 1]
+        bx, by = segs[:, 1, 0], segs[:, 1, 1]
+        by_edge: dict[int, list[tuple[float, Coord]]] = {}
+        out: list[Coord] = []
+        for p in pts:
+            d, cx, cy = seg_point_distance(
+                ax, ay, bx, by, np.full(len(segs), p[0]), np.full(len(segs), p[1])
+            )
+            i = int(np.argmin(d))
+            node = (float(cx[i]), float(cy[i]))
+            t = float(np.hypot(node[0] - ax[i], node[1] - ay[i]))
+            by_edge.setdefault(i, []).append((t, node))
+            out.append(node)
+        for ei, items in by_edge.items():
+            u, v = edge_list[ei]
+            items.sort()
+            chain = [u]
+            for _, node in items:
+                if node != u and node != v and node != chain[-1]:
+                    chain.append(node)
+            chain.append(v)
+            if len(chain) > 2:
+                was_road = frozenset((u, v)) in self.road_edges
+                del self.adj[u][v]
+                del self.adj[v][u]
+                if was_road:
+                    self.road_edges.discard(frozenset((u, v)))
+                for a, b in zip(chain, chain[1:]):
+                    self.add_edge(a, b)
+                    if was_road:
+                        self.mark_road(a, b)
+        if terminal:
+            for node in out:
+                self.terminal[node] = True
+        return out
+
     def split_edge_by_node(self, u: Coord, v: Coord, n: Coord) -> None:
         """topology.py:388-406 — no-op (flag copy) when n coincides with an
         endpoint; else replace (u,v) with (u,n),(n,v)."""
@@ -238,16 +294,27 @@ class PlanarGraph:
             self.mark_road(n, v)
 
     # -- shortest paths / Steiner (reblock/steiner_tree.py:69-95) ---------
-    def dijkstra(self, src: Coord) -> tuple[dict[Coord, float], dict[Coord, Coord]]:
+    def dijkstra(
+        self, src: Coord, targets: set[Coord] | None = None
+    ) -> tuple[dict[Coord, float], dict[Coord, Coord]]:
+        """Single-source shortest paths; with ``targets`` the search stops
+        once every target is settled (settled distances/paths are final,
+        so the early exit is exact) — the metric closure only needs
+        terminal-to-terminal rows, not the whole graph."""
         dist = {src: 0.0}
         prev: dict[Coord, Coord] = {}
         pq: list[tuple[float, Coord]] = [(0.0, src)]
         done: set[Coord] = set()
+        remaining = set(targets) - {src} if targets is not None else None
         while pq:
             d, u = heapq.heappop(pq)
             if u in done:
                 continue
             done.add(u)
+            if remaining is not None:
+                remaining.discard(u)
+                if not remaining:
+                    break
             for v, w in self.adj[u].items():
                 nd = d + w
                 if v not in dist or nd < dist[v] - 1e-15:
@@ -307,20 +374,68 @@ class PlanarGraph:
         """coopers_steiner_tree (reblock/steiner_tree.py:69-95): metric
         closure over terminal pairs (Dijkstra), MST of the closure (Kruskal,
         ties broken by (distance, u, v) lexicographic — SURVEY.md §7.4
-        determinism pin), union of the MST edges' underlying paths."""
+        determinism pin), union of the MST edges' underlying paths.
+
+        Runs on an integer-indexed view of the graph (array dist/prev/done
+        instead of tuple-keyed dicts — the metric closure is t Dijkstras
+        and dominates the kernel). Nodes are numbered in lexicographic
+        coordinate order, so heap ties on (dist, index) break exactly as
+        the tuple-keyed version's (dist, coord) did — bit-identical
+        output."""
         terminals = [n for n, t in self.terminal.items() if t]
         if len(terminals) < 2:
             return []
-        dmaps = {t: self.dijkstra(t) for t in terminals}
+        order = sorted(self.adj)  # index order == coord lexicographic order
+        idx = {n: i for i, n in enumerate(order)}
+        nn = len(order)
+        nbrs: list[list[int]] = [[] for _ in range(nn)]
+        wts: list[list[float]] = [[] for _ in range(nn)]
+        for n, nb in self.adj.items():
+            i = idx[n]
+            for v, w in nb.items():
+                nbrs[i].append(idx[v])
+                wts[i].append(w)
+        t_idx = [idx[t] for t in terminals]
+        t_mask = bytearray(nn)
+        for i in t_idx:
+            t_mask[i] = 1
+        INF = float("inf")
+
+        def dij(src: int) -> tuple[list[float], list[int]]:
+            dist = [INF] * nn
+            prev = [-1] * nn
+            done = bytearray(nn)
+            dist[src] = 0.0
+            pq: list[tuple[float, int]] = [(0.0, src)]
+            left = len(t_idx) - (1 if t_mask[src] else 0)
+            while pq:
+                d, u = heapq.heappop(pq)
+                if done[u]:
+                    continue
+                done[u] = 1
+                if t_mask[u] and u != src:
+                    left -= 1
+                    if left == 0:
+                        break
+                for v, w in zip(nbrs[u], wts[u]):
+                    nd = d + w
+                    if nd < dist[v] - 1e-15:
+                        dist[v] = nd
+                        prev[v] = u
+                        heapq.heappush(pq, (nd, v))
+            return dist, prev
+
+        dmaps = {t: dij(idx[t]) for t in terminals}
         # closure holds (dist, a, b) only; paths are reconstructed lazily
         # for the t-1 edges Kruskal accepts, not all C(t,2) pairs
         closure: list[tuple[float, Coord, Coord, Coord, Coord]] = []
         for u, v in combinations(terminals, 2):
             dist, _ = dmaps[u]
-            if v not in dist:
+            dv = dist[idx[v]]
+            if dv == INF:
                 continue
             a, b = (u, v) if u <= v else (v, u)
-            closure.append((dist[v], a, b, u, v))
+            closure.append((dv, a, b, u, v))
         closure.sort(key=lambda r: (r[0], r[1], r[2]))
         # Kruskal
         parent: dict[Coord, Coord] = {t: t for t in terminals}
@@ -340,9 +455,11 @@ class PlanarGraph:
             # lazy path walk from u's tree (the same source the eager
             # version used, so tie-broken paths are identical)
             _, prev = dmaps[u]
-            path = [v]
-            while path[-1] != u:
-                path.append(prev[path[-1]])
+            pi = [idx[v]]
+            src_i = idx[u]
+            while pi[-1] != src_i:
+                pi.append(prev[pi[-1]])
+            path = [order[i] for i in pi]
             for p, q in zip(path, path[1:]):
                 edges_out.setdefault(frozenset((p, q)), (p, q))
         return list(edges_out.values())

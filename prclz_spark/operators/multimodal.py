@@ -56,41 +56,113 @@ FIDELITY_SCHEMA = T.StructType(
 )
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _pixels_batch(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(n,h,w,3) reference pixels — synth.pixels_for_id vectorized over
+    the whole Arrow batch (same integer arithmetic, one allocation)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    base = (
+        (xs * 3 + ys * 7)[None, :, :, None]
+        + ((ids % 997) * 13)[:, None, None, None]
+        + np.array([0, 31, 62])
+    )
+    return (base % 256).astype(np.uint8)
+
+
+def _phash_batch(dec: np.ndarray) -> list[int]:
+    """imagecodec.phash64 vectorized over (n,h,w,3) when the dims divide
+    by 8 (then the linspace block boundaries are exactly the reshape
+    blocks); falls back to the scalar kernel otherwise."""
+    n, h, w, _ = dec.shape
+    if h % 8 != 0 or w % 8 != 0:
+        return [imagecodec.phash64(dec[i]) for i in range(n)]
+    luma = dec.astype(np.float64) @ _LUMA
+    blocks = luma.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).reshape(n, 64)
+    med = np.median(blocks, axis=1)
+    bits = blocks > med[:, None]
+    out = []
+    for row in bits:
+        val = int.from_bytes(np.packbits(row).tobytes(), "big")
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return out
+
+
 def payload_fidelity(images: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
     """Per-row fidelity vs the deterministic source imagery: decode the
     payload, re-synthesize the reference pixels from the row id, compare.
-    PSNR of exact matches reports as 999.0 (inf is not Parquet-friendly)."""
+    PSNR of exact matches reports as 999.0 (inf is not Parquet-friendly).
+
+    Decode is inherently per-image, but everything else is batched: rows
+    are grouped by (w, h, fmt) inside each Arrow batch, and reference
+    synthesis / decode / PSNR / exactness / phash each run as ONE numpy
+    pass over the stacked group (no per-row re-encode: a payload is exact
+    iff its decode equals the requantized reference, computed once)."""
 
     def per_batch(batches):
+        cols = [f.name for f in FIDELITY_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                i = int(r.image_id.split("_")[1])
-                ref = synth.pixels_for_id(i, r.w, r.h)
-                dec = _decode_any(r.bytes, r.w, r.h, r.fmt)
-                if r.fmt == "q6":
-                    ref = imagecodec.decode(
-                        imagecodec.encode(ref, "q6"), r.w, r.h, "q6"
-                    )  # the stored payload IS the quantized image; compare
-                    # decoded-vs-requantized for exactness, PSNR vs original
-                    p = imagecodec.psnr(synth.pixels_for_id(i, r.w, r.h), dec)
-                    exact = np.array_equal(dec, ref)
-                else:
-                    p = imagecodec.psnr(ref, dec)
-                    exact = np.array_equal(dec, ref)
-                psnr_db = 999.0 if np.isinf(p) else float(p)
-                cap_ok = r.caption == f"synthetic caption {r.image_id}"
-                ph_ok = imagecodec.phash64(dec) == r.phash
-                rows.append(
-                    (
-                        r.image_id, r.fmt, round(psnr_db, 6), bool(cap_ok),
-                        bool(ph_ok),
-                        bool(cap_ok and ph_ok and exact and psnr_db >= psnr_floor),
-                    )
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            psnr_db = np.zeros(len(pdf))
+            exact = np.zeros(len(pdf), dtype=bool)
+            ph_ok = np.zeros(len(pdf), dtype=bool)
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                idx = g.index.to_numpy()
+                pos = pdf.index.get_indexer(idx)
+                if fmt not in NUMPY_FORMATS:
+                    # external-codec stub path: per-row decode contract
+                    for p_i, r in zip(pos, g.itertuples(index=False)):
+                        i = int(r.image_id.split("_")[1])
+                        ref = synth.pixels_for_id(i, w, h)
+                        dec = _decode_any(r.bytes, w, h, fmt)
+                        p = imagecodec.psnr(ref, dec)
+                        psnr_db[p_i] = 999.0 if np.isinf(p) else float(p)
+                        exact[p_i] = np.array_equal(dec, ref)
+                        ph_ok[p_i] = imagecodec.phash64(dec) == r.phash
+                    continue
+                ids = np.array(
+                    [int(s.split("_")[1]) for s in g["image_id"]], dtype=np.int64
                 )
+                refs = _pixels_batch(ids, w, h)
+                dec = np.frombuffer(
+                    b"".join(g["bytes"]), dtype=np.uint8
+                ).reshape(len(g), h, w, 3)
+                if fmt == "q6":
+                    dec = (
+                        (dec.astype(np.uint16) << 2) | (dec.astype(np.uint16) >> 4)
+                    ).astype(np.uint8)
+                    ref_dec = (
+                        ((refs >> 2).astype(np.uint16) << 2)
+                        | ((refs >> 2).astype(np.uint16) >> 4)
+                    ).astype(np.uint8)
+                else:
+                    ref_dec = refs
+                mse = (
+                    (dec.astype(np.float64) - refs.astype(np.float64)) ** 2
+                ).mean(axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    p = np.where(
+                        mse == 0, 999.0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-300))
+                    )
+                psnr_db[pos] = p
+                exact[pos] = (dec == ref_dec).all(axis=(1, 2, 3))
+                ph_ok[pos] = np.array(_phash_batch(dec)) == g["phash"].to_numpy()
+            cap_ok = (
+                pdf["caption"] == "synthetic caption " + pdf["image_id"]
+            ).to_numpy()
             yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in FIDELITY_SCHEMA.fields],
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "psnr_db": np.round(psnr_db, 6),
+                    "caption_ok": cap_ok,
+                    "phash_ok": ph_ok,
+                    "fidelity_ok": cap_ok & ph_ok & exact & (psnr_db >= psnr_floor),
+                },
+                columns=cols,
             )
 
     return images.mapInPandas(per_batch, FIDELITY_SCHEMA)

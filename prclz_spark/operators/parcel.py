@@ -221,12 +221,19 @@ def parcelize_footprints(
     point_id: str = "image_id",
     coarse_factor: float = 100.0,
     num_partitions: int | None = None,
+    max_anchors: int = 6_000,
 ) -> DataFrame:
     """Distributed footprint parcelization with the reference's retry
     ladder (midway_parcelization.R:126-135): per block, try the fine
     ``ptdist``; on failure retry at ``ptdist * coarse_factor``; if both
     fail, inherit the block boundary as a single fallback parcel
     (parcel_id '__block_boundary__', ptdist_used -1).
+
+    ``max_anchors`` is the per-block straggler budget: the Voronoi kernel
+    is O(n² log n) in anchors, so a hotspot block (30% of points in 1.5%
+    of the area in the synthetic skew) must densify coarsely — exceeding
+    the budget at the fine rung is precisely what drops it to the coarse
+    rung, the reference's own ptdist ladder motivation.
 
     Footprints are squares of side ``footprint_side`` centered on each
     assigned point (the graft's building-footprint analog — the same
@@ -254,7 +261,7 @@ def parcelize_footprints(
         ]
         for d in (ptdist, ptdist * coarse_factor):
             try:
-                out = block_parcels_footprint(ring, ids, rings, d)
+                out = block_parcels_footprint(ring, ids, rings, d, max_anchors)
             except Exception:
                 continue
             if out:

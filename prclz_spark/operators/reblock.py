@@ -211,16 +211,18 @@ def reblock_kernel(
     # (i_topology_utils.py:197-252) with the reference feature weights
     _relabel_boundary_edges(g, block_ring, boundary_types)
 
-    # terminal insertion (J10): snap each point onto its nearest edge
-    for p in terminals_xy:
-        g.add_node_to_closest_edge((float(p[0]), float(p[1])), terminal=True)
+    # terminal insertion (J10): snap every point onto its nearest edge in
+    # one vectorized batch (the reference passes the dummy outside
+    # terminal in the same building list, i_reblock.py:286-294)
+    snap_pts = terminals_xy
     if outside_terminal:
         # synthetic 'outside' terminal (i_reblock.py:286-291): connect the
         # proposed roads to the world beyond the block — a point in the
         # min-rotated-rect of the block but outside its hull, snapped onto
         # the nearest mesh edge like any building
         op = geom.outside_point(np.asarray(block_ring, dtype=float))
-        g.add_node_to_closest_edge((float(op[0]), float(op[1])), terminal=True)
+        snap_pts = np.vstack([terminals_xy, [[float(op[0]), float(op[1])]]])
+    g.add_nodes_to_closest_edges(snap_pts, terminal=True)
     g = g.largest_component_subgraph()
     work = g.simplify_degree2() if simplify else g
     n_terminals = sum(1 for t in work.terminal.values() if t)
