@@ -929,6 +929,17 @@ def _sql_txt_lang_id(sf_dir):
     return text.lang_id_sql("documents")
 
 
+def _q_txt_winnow_fp(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): polynomial hash
+    per character k-gram, min-hash per w-window, distinct — the classic
+    near-dup fingerprint scheme, JVM-only higher-order functions."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _sql_txt_winnow_fp(sf_dir):
+    return text.winnow_fingerprints_sql("documents")
+
+
 def _q_txt_simhash(spark, sf_dir):
     out = text.simhash(_t(spark, sf_dir, "documents"))
     # bucket summary doubles as the SimHash near-dup candidate generator
@@ -1285,6 +1296,7 @@ REGISTRY: dict[str, tuple] = {
     "txt_quality_score": (_q_txt_quality, _sql_txt_quality),
     "txt_lang_id": (_q_txt_lang_id, _sql_txt_lang_id),
     "txt_simhash_buckets": (_q_txt_simhash, _sql_txt_simhash),
+    "txt_winnow_fingerprint": (_q_txt_winnow_fp, _sql_txt_winnow_fp),
     "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
     "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
     "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),

@@ -248,16 +248,22 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_w: int = 3,
     per-doc arrays). A pair whose every shared shingle is hot is not a
     candidate — the documented stop-shingle semantics, mirrored by the
     SQL oracle."""
+    from pyspark.sql import Window
+
     sh_df = shingles(df, shingle_w, text_col, id_col)
-    dfc = sh_df.groupBy("sh").agg(F.count("*").alias("dfc"))
-    flagged = sh_df.join(dfc, "sh")
-    rare = flagged.filter(F.col("dfc") <= max_df).select("doc_id", "sh")
-    hot_sets = (
-        flagged.filter(F.col("dfc") > max_df)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("sh")).alias("hot"))
+    # one shuffle on sh serves both the df computation (window count) and
+    # the rare self-join (exchange reuse); one groupBy(doc_id) carries
+    # BOTH the shingle-set size and the (globally few) hot shingles
+    flagged = sh_df.withColumn(
+        "dfc", F.count("*").over(Window.partitionBy("sh"))
     )
-    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("sz"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("dfc") > max_df, F.col("sh")))
+        ).alias("hot"),
+    )
+    rare = flagged.filter(F.col("dfc") <= max_df).select("doc_id", "sh")
     inter_rare = (
         rare.alias("x")
         .join(rare.alias("y"), on="sh")
@@ -265,30 +271,23 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_w: int = 3,
         .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .agg(F.count("*").alias("inter_rare"))
     )
-    h1 = hot_sets.select(F.col("doc_id").alias("d1"), F.col("hot").alias("hot1"))
-    h2 = hot_sets.select(F.col("doc_id").alias("d2"), F.col("hot").alias("hot2"))
-    inter = (
-        inter_rare.join(h1, "d1", "left")
-        .join(h2, "d2", "left")
-        .withColumn(
-            "inter",
-            F.col("inter_rare")
-            + F.when(
-                F.col("hot1").isNotNull() & F.col("hot2").isNotNull(),
-                F.size(F.array_intersect(F.col("hot1"), F.col("hot2"))),
-            ).otherwise(F.lit(0)),
-        )
+    p1 = per_doc.select(
+        F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"), F.col("hot").alias("hot1")
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    p2 = per_doc.select(
+        F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"), F.col("hot").alias("hot2")
+    )
+    inter = F.col("inter_rare") + F.size(
+        F.array_intersect(F.col("hot1"), F.col("hot2"))
+    )
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        inter_rare.join(p1, "d1")
+        .join(p2, "d2")
         .withColumn(
             "jaccard_r6",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                inter.cast("double")
+                / (F.col("sz1") + F.col("sz2") - inter).cast("double"),
                 6,
             ),
         )
@@ -328,6 +327,100 @@ def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
         join sizes s1 on s1.doc_id = d1
         join sizes s2 on s2.doc_id = d2
         where round(cast(inter as double) / cast(s1.sz + s2.sz - inter as double), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprinting (winnowing)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # character k-grams
+WINNOW_W = 4  # winnowing window (grams per window)
+_RH_BASE = 257
+_RH_MOD = 2147483647  # 2^31 - 1
+# per-position multipliers B^(k-1-j) mod M, folded to literals so both
+# engines evaluate the identical integer expression
+_RH_POW = [pow(_RH_BASE, WINNOW_K - 1 - j, _RH_MOD) for j in range(WINNOW_K)]
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowed rolling-hash fingerprints (the standard document
+    fingerprinting scheme: polynomial hash of each character k-gram, keep
+    the minimum hash of every w-gram window, dedupe). Entirely JVM-side
+    higher-order functions — per doc: one array of gram hashes, one
+    window-min pass, one distinct — no shuffle, no UDF."""
+    t = F.col(text_col)
+    L = F.length(t)
+    # each stage materializes as a real column: a lambda that closes over
+    # an outer EXPRESSION would re-evaluate it per array element (O(n²)
+    # per row); closing over a materialized column is O(1). Char codes
+    # are extracted once (substr on UTF8 strings seeks from the start, so
+    # hashing straight off the string would be O(len) per access).
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
+        lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"),
+    )
+    staged = df.select(F.col(id_col), L.alias("L"), codes.alias("codes"))
+    cc = F.col("codes")
+    gram_hash = lambda p: (  # noqa: E731
+        sum(
+            F.element_at(cc, (p + F.lit(j)).cast("int")) * F.lit(_RH_POW[j])
+            for j in range(WINNOW_K)
+        ) % F.lit(_RH_MOD)
+    )
+    n_grams = F.greatest(F.col("L") - (WINNOW_K - 1), F.lit(0))
+    gh = F.when(
+        n_grams > 0,
+        F.transform(F.sequence(F.lit(1), n_grams), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = staged.select(F.col(id_col), gh.alias("gh"))
+    ghc = F.col("gh")
+    n_wins = F.greatest(F.size(ghc) - (WINNOW_W - 1), F.lit(0))
+    wins = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda q: F.array_min(F.slice(ghc, q, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = staged.select(
+        F.col(id_col), F.size(ghc).alias("n_grams"),
+        F.array_distinct(wins).alias("fps"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_grams",
+        F.size(F.col("fps")).alias("n_fingerprints"),
+        F.array_min(F.col("fps")).alias("min_fp"),
+        F.array_max(F.col("fps")).alias("max_fp"),
+    )
+
+
+def winnow_fingerprints_sql(table: str = "documents", text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    t = text_col
+    terms = " + ".join(
+        f"cast(ascii(substring({t}, p + {j}, 1)) as bigint) * {_RH_POW[j]}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+        with grams as (
+          select {id_col},
+                 list_transform(range(1, greatest(length({t}) - {WINNOW_K - 1}, 0) + 1),
+                                p -> ({terms}) % {_RH_MOD}) as gh
+          from {table}
+        ),
+        winnowed as (
+          select {id_col}, gh,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(gh) - {WINNOW_W - 1}, 0) + 1),
+                   q -> list_min(gh[q:q+{WINNOW_W - 1}]))) as fps
+          from grams
+        )
+        select {id_col}, len(gh) as n_grams, len(fps) as n_fingerprints,
+               list_min(fps) as min_fp, list_max(fps) as max_fp
+        from winnowed
     """
 
 
