@@ -94,6 +94,48 @@ class PlanarGraph:
     def mark_road(self, u: Coord, v: Coord) -> None:
         self.road_edges.add(frozenset((u, v)))
 
+    # -- JSON serialization (F28: midway_complexity.py:18-19) --------------
+    def to_node_link(self) -> dict:
+        """node-link serialization (the reference persists weak duals as
+        ``json_graph.node_link_data`` JSON): nodes in canonical
+        lexicographic order, links as (source-index, target-index, weight,
+        road) with source < target — deterministic, round-trippable, and
+        `json.dumps`-able as a DataFrame string column."""
+        order = sorted(self.adj)
+        idx = {n: i for i, n in enumerate(order)}
+        links = sorted(
+            {
+                (min(idx[u], idx[v]), max(idx[u], idx[v]),
+                 self.adj[u][v], frozenset((u, v)) in self.road_edges)
+                for u, v in self.edges()
+            }
+        )
+        return {
+            "nodes": [
+                {"x": n[0], "y": n[1], "terminal": bool(self.terminal.get(n, False))}
+                for n in order
+            ],
+            "links": [
+                {"source": s, "target": t, "weight": w, "road": r}
+                for s, t, w, r in links
+            ],
+        }
+
+    @staticmethod
+    def from_node_link(data: dict) -> "PlanarGraph":
+        g = PlanarGraph()
+        coords = [(float(n["x"]), float(n["y"])) for n in data["nodes"]]
+        for n, c in zip(data["nodes"], coords):
+            g.add_node(c)
+            if n.get("terminal"):
+                g.terminal[c] = True
+        for e in data["links"]:
+            u, v = coords[e["source"]], coords[e["target"]]
+            g.add_edge(u, v, float(e["weight"]))
+            if e.get("road"):
+                g.mark_road(u, v)
+        return g
+
     # -- embedding + face tracing (topology.py:408-458) -------------------
     def _embedding(self) -> dict[Coord, list[Coord]]:
         # reference sorts neighbors by arctan2(dx, dy) — x argument FIRST

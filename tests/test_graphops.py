@@ -164,3 +164,38 @@ def test_voronoi_cells_contain_anchors():
         assert len(vs) >= 3
         ring = np.array(vs)
         assert geom.point_in_polygon(anchor[0], anchor[1], ring)
+
+
+def test_node_link_roundtrip():
+    """F28 JSON graph serialization (midway_complexity.py:18-19): the
+    node-link form is deterministic and round-trips weights, roads and
+    terminal flags exactly."""
+    import json
+
+    import numpy as np
+
+    from prclz_spark.functions.graphops import PlanarGraph
+
+    g = PlanarGraph.from_polygons(
+        [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
+         np.array([[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0]])]
+    )
+    g.mark_road((0.0, 0.0), (1.0, 0.0))
+    g.adj[(0.0, 0.0)][(1.0, 0.0)] = 0.0
+    g.adj[(1.0, 0.0)][(0.0, 0.0)] = 0.0
+    g.terminal[(2.0, 1.0)] = True
+    data = g.to_node_link()
+    s = json.dumps(data, sort_keys=True)
+    g2 = PlanarGraph.from_node_link(json.loads(s))
+    assert g2.to_node_link() == data
+    assert sorted(map(sorted, g2.edges())) == sorted(map(sorted, g.edges()))
+    assert g2.adj[(0.0, 0.0)][(1.0, 0.0)] == 0.0
+    assert g2.terminal.get((2.0, 1.0)) is True
+    assert frozenset(((0.0, 0.0), (1.0, 0.0))) in g2.road_edges
+    # serialization is independent of construction order
+    g3 = PlanarGraph()
+    for u, v in reversed(g.edges()):
+        g3.add_edge(u, v, g.adj[u][v])
+    g3.terminal[(2.0, 1.0)] = True
+    g3.mark_road((0.0, 0.0), (1.0, 0.0))
+    assert g3.to_node_link() == data

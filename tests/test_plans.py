@@ -151,3 +151,47 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"drop table if exists {t_o}")
         spark.sql(f"drop table if exists {t_li}")
+
+
+def test_near_dup_plan_single_shuffle(spark):
+    """Exact near-dup is the chunk-pair GEMM: the physical plan must be
+    scan → explode → ONE Exchange on (k1,k2) → grouped GEMM, with no
+    driver-side collect and no aggregate/sort stages smuggled in."""
+    from prclz_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.near_dup_pairs(e, 0.42)
+    p = _plan(out)
+    assert p.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in p
+    assert "SortAggregate" not in p and "HashAggregate" not in p
+
+
+def test_minhash_plan_no_band_explode(spark):
+    """MinHash band minima must come from ONE groupBy(doc_id) over the
+    shingle rows (n_bands agg columns + stack), never from exploding each
+    shingle row n_bands times: exactly one Generate (the shingle explode)
+    feeds the aggregation."""
+    from prclz_spark.operators import text
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = text.minhash_signatures(d, n_bands=8)
+    p = _plan(sigs)
+    assert p.count("Generate explode") == 1  # shingles only, no band explode
+    # the doc_id aggregation carries 8 min() columns in one pass
+    assert p.count("partial_min") == 8
+
+
+def test_jaccard_plan_df_guard(spark):
+    """The jaccard self-join must consume the df-capped (rare) shingle
+    stream; the window computing document frequency shares the shingle
+    shuffle rather than adding an aggregate+join pair."""
+    from prclz_spark.operators import text
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.jaccard_pairs(d, threshold=0.5)
+    p = _plan(out)
+    # document frequency via window over sh partitioning
+    assert "windowspecdefinition(sh" in p
+    # both self-join inputs are filtered on the df cap before joining
+    assert p.count("(dfc") >= 2
