@@ -111,11 +111,17 @@ def main() -> None:
     tiles_s, n_tiles = bench_tiles(spark, bench_n, cpus * 2)
 
     qtimes: dict[str, float] = {}
+    qtimes_warm: dict[str, float] = {}
     for name, fn in contract.queries().items():
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
             qtimes[name] = round(time.perf_counter() - t0, 3)
+            # second (warm) run: codegen/broadcast/fixture costs amortized —
+            # the steady-state number, far less sensitive to host noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            qtimes_warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # never fail the whole bench on one query
             qtimes[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
@@ -126,6 +132,7 @@ def main() -> None:
         "value": round(images_per_sec, 1),
         "unit": "sec",
         "queries": qtimes,
+        "queries_warm": qtimes_warm,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "bench_points": bench_n,
         "assign_sec": round(assign_s, 3),

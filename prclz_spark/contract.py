@@ -567,9 +567,14 @@ def _q_spatial_largest_overlap(spark, sf_dir):
     )
     feats = pts.select(F.col("image_id"), ring.alias("geometry"))
     cover_pdf = _grid_cover(spark)
-    cover = spark.createDataFrame(cover_pdf[["cell", "block_id", "geometry"]])
+    # ship the 30k-cell cover NARROW (ints + strings Arrow-convert fast);
+    # ring geometry goes once per block (49 rows), not once per cell
+    cover = spark.createDataFrame(cover_pdf[["cell", "block_id"]])
+    blocks_geo = spark.createDataFrame(
+        cover_pdf[["block_id", "geometry"]].drop_duplicates("block_id")
+    )
     out = assign.largest_overlap_assign(
-        feats, cover, PIP_RES, feature_id="image_id"
+        feats, cover, PIP_RES, feature_id="image_id", block_geoms=blocks_geo
     )
     return out.select(
         "image_id", "block_id", F.round("overlap", 12).alias("overlap_r12")

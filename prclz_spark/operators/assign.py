@@ -232,12 +232,18 @@ def largest_overlap_assign(
     feature_id: str = "osm_id",
     geometry_col: str = "geometry",
     broadcast_cover: bool = True,
+    block_geoms: DataFrame | None = None,
 ) -> DataFrame:
     """J5 (midway_parcelization.R:116 `st_join(..., largest=TRUE)`): assign
     each polygonal feature to the block with which it overlaps most.
     Candidates by cell join on the feature centroid's kRing-1 cells, exact
     intersection-area kernel, argmax via window row_number — the Spark
-    shape prescribed in SURVEY.md §2.3 J5."""
+    shape prescribed in SURVEY.md §2.3 J5.
+
+    Pass ``block_geoms`` (block_id, geometry — one row per block) to keep
+    the ``cover`` frame narrow (cell, block_id): replicating the ring
+    geometry onto every covering cell row makes the dimension frame
+    orders of magnitude heavier to ship/broadcast for zero information."""
     from pyspark.sql import Window
 
     cen_schema = T.StructType(
@@ -277,9 +283,14 @@ def largest_overlap_assign(
     # coalesce the byte-small shuffle).
     n_part = features.sparkSession.sparkContext.defaultParallelism * 2
     cov_ids = cover.select("cell", "block_id")
-    blocks_geo = cover.select(
-        "block_id", F.col("geometry").alias("block_geometry")
-    ).dropDuplicates(["block_id"])
+    if block_geoms is not None:
+        blocks_geo = block_geoms.select(
+            "block_id", F.col("geometry").alias("block_geometry")
+        )
+    else:
+        blocks_geo = cover.select(
+            "block_id", F.col("geometry").alias("block_geometry")
+        ).dropDuplicates(["block_id"])
     if broadcast_cover:
         cov_ids = F.broadcast(cov_ids)
         blocks_geo = F.broadcast(blocks_geo)

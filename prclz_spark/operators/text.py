@@ -211,13 +211,25 @@ def minhash_signatures(df: DataFrame, n_bands: int = 8, shingle_w: int = 3,
 
 
 def minhash_candidates(df: DataFrame, n_bands: int = 8, shingle_w: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id"
-                       ) -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_bucket_docs: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs (d1 < d2, n_bands_shared): docs sharing
     any band signature. The join key (band, sig) is a minhash bucket —
     only near-identical docs collide, so the self-join fan-out is bounded
-    by duplicate-cluster size, not by corpus-wide shingle frequency."""
+    by duplicate-cluster size, not by corpus-wide shingle frequency.
+
+    ``max_bucket_docs`` is the residual-skew guard for 10^12-row corpora:
+    a cluster of c near-exact duplicates still produces c² join rows per
+    band. Buckets above the cap are dropped from the pair join (such
+    clusters are exact-dup territory — run the md5 exact dedup first and
+    feed canonical docs here); None (default) disables the cap."""
     sigs = minhash_signatures(df, n_bands, shingle_w, text_col, id_col)
+    if max_bucket_docs is not None:
+        from pyspark.sql import Window
+
+        sigs = sigs.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("band", "sig"))
+        ).filter(F.col("__bn") <= max_bucket_docs).drop("__bn")
     return (
         sigs.alias("x")
         .join(sigs.alias("y"), on=["band", "sig"])

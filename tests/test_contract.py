@@ -71,3 +71,26 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.columns == ["block_id", "n_images"]
+
+
+def test_minhash_bucket_cap(spark):
+    """Residual-skew guard: a cluster of exact duplicates collides in
+    every band; with max_bucket_docs the degenerate bucket is excluded
+    from the pair join while normal candidates survive."""
+    import pandas as pd
+
+    from prclz_spark.operators import text as text_op
+
+    docs = [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"} for i in range(30)]
+    docs += [
+        {"doc_id": 100, "text": "one two three four five six seven"},
+        {"doc_id": 101, "text": "one two three four five six eight"},
+    ]
+    d = spark.createDataFrame(pd.DataFrame(docs))
+    uncapped = text_op.minhash_candidates(d).toPandas()
+    capped = text_op.minhash_candidates(d, max_bucket_docs=10).toPandas()
+    # the 30-dup cluster dominates uncapped output (30*29/2 pairs)
+    assert len(uncapped) >= 435
+    # capped drops the cluster but keeps the genuine near-dup pair
+    assert len(capped) < 435
+    assert ((capped.d1 == 100) & (capped.d2 == 101)).any()
