@@ -865,6 +865,34 @@ def _sql_evt_window_agg(sf_dir):
     """
 
 
+def _q_evt_stream_window(spark, sf_dir):
+    """Structured Streaming rollup (SURVEY.md §2.8): readStream over the
+    events parquet → watermarked 1-hour event-time windows → availableNow
+    drain into a memory sink. Draining a static fixture must reproduce
+    the batch rollup exactly — the oracle is the same SQL the batch
+    evt_window_agg uses."""
+    from .streaming.windows import stream_hourly_rollup
+
+    # the file stream source lists a DIRECTORY; stage one holding a
+    # symlink to the (read-only) fixture file
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(_DATA_DIR, f"stream_events_{sfname}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stream_hourly_rollup(spark, stream_dir)
+
+
+def _sql_evt_stream_window(sf_dir):
+    return """
+        select date_trunc('hour', ts) as hour_bucket, event_type,
+               count(*) as n_events,
+               cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+        from events group by 1, 2
+    """
+
+
 def _q_evt_dedup_first(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -1295,6 +1323,7 @@ REGISTRY: dict[str, tuple] = {
     "rel_minted_ids": (_q_rel_minted_ids, _sql_rel_minted_ids),
     # events
     "evt_window_agg": (_q_evt_window_agg, _sql_evt_window_agg),
+    "evt_stream_window": (_q_evt_stream_window, _sql_evt_stream_window),
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
     # text / dedup
     "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
