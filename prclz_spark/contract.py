@@ -893,6 +893,51 @@ def _sql_evt_stream_window(sf_dir):
     """
 
 
+SESSION_GAP_MIN = 30
+
+
+def _q_evt_sessionize(spark, sf_dir):
+    """Sessionization (the canonical stateful-streaming semantics in batch
+    form): per user, a new session starts when the gap to the previous
+    event exceeds 30 minutes; lag + running-sum window minting. The
+    streaming twin (streaming/stateful.py, applyInPandasWithState) is
+    pinned equal to this result by pytest."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("sess_idx", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _sql_evt_sessionize(sf_dir):
+    return f"""
+        with flagged as (
+          select user_id, event_id, ts,
+                 case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                        or epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id))
+                           > {SESSION_GAP_MIN * 60}
+                      then 1 else 0 end as new_sess
+          from events
+        ),
+        sess as (
+          select user_id, ts,
+                 sum(new_sess) over (partition by user_id order by ts, event_id
+                                     rows unbounded preceding) as sess_idx
+          from flagged
+        )
+        select user_id, sess_idx, count(*) as n_events,
+               min(ts) as session_start, max(ts) as session_end
+        from sess group by 1, 2
+    """
+
+
 def _q_evt_dedup_first(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -1324,6 +1369,7 @@ REGISTRY: dict[str, tuple] = {
     # events
     "evt_window_agg": (_q_evt_window_agg, _sql_evt_window_agg),
     "evt_stream_window": (_q_evt_stream_window, _sql_evt_stream_window),
+    "evt_sessionize": (_q_evt_sessionize, _sql_evt_sessionize),
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
     # text / dedup
     "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
