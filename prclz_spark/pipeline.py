@@ -24,11 +24,15 @@ from pyspark.sql import functions as F
 from .functions import cells
 from .operators import assign as assign_op
 from .operators import complexity as complexity_op
+from .operators import parcel as parcel_op
+from .operators import reblock as reblock_op
 from .sources import synth
 from .sources.tablestore import TableStore
 
 ASSIGN_TABLE = "assign"
 COMPLEXITY_TABLE = "complexity"
+PARCELS_TABLE = "parcels"
+REBLOCK_TABLE = "reblock_summary"
 
 
 def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
@@ -47,9 +51,11 @@ def run_pipeline(
     res: int = 17,
     prefix_res: int = 6,
 ) -> dict:
-    """assign → k-complexity, each stage committed + resumable.
+    """The reference's full stage chain — assign → k-complexity →
+    parcelization → reblocking (SURVEY.md §3) — each stage committed
+    atomically with per-partition lineage and resumable independently.
 
-    Returns per-stage row counts actually computed this run (0 for a fully
+    Returns per-stage counts actually computed this run (0 for a fully
     resumed stage)."""
     store = TableStore(store_root)
     blocks_pdf = synth.grid_blocks(grid_g)
@@ -78,20 +84,57 @@ def run_pipeline(
         computed[COMPLEXITY_TABLE] = 0
         return computed
 
-    # -- stage 2: k-complexity per block, partitioned by block's prefix ----
     blocks_sdf = spark.createDataFrame(blocks_pdf)
-    done_blocks = store.completed_partitions(COMPLEXITY_TABLE)
-    todo_blocks = blocks_sdf
-    if done_blocks:
-        todo_blocks = blocks_sdf.filter(~F.col("block_id").isin(*sorted(done_blocks)))
-    n_blocks_todo = todo_blocks.count()
-    computed[COMPLEXITY_TABLE] = n_blocks_todo
-    if n_blocks_todo > 0:
-        todo_assigned = assigned.join(
-            F.broadcast(todo_blocks.select("block_id")), "block_id", "left_semi"
-        )
-        k = complexity_op.k_complexity(todo_assigned, todo_blocks)
-        store.commit(k, COMPLEXITY_TABLE, "block_id", stage=COMPLEXITY_TABLE)
+
+    def per_block_stage(table: str, build) -> int:
+        """Shared per-block resume pattern (CheckPointer anti-join analog,
+        i_reblock.py:254-255): blocks already in the table's lineage are
+        skipped; ``build(todo_blocks, todo_assigned)`` produces the new
+        rows, committed partitioned by block_id."""
+        done = store.completed_partitions(table)
+        todo_blocks = blocks_sdf
+        if done:
+            todo_blocks = blocks_sdf.filter(
+                ~F.col("block_id").isin(*sorted(done))
+            )
+        n_todo_blocks = todo_blocks.count()
+        computed[table] = n_todo_blocks
+        if n_todo_blocks > 0:
+            todo_assigned = assigned.join(
+                F.broadcast(todo_blocks.select("block_id")), "block_id", "left_semi"
+            )
+            out = build(todo_blocks, todo_assigned)
+            store.commit(out, table, "block_id", stage=table)
+        return n_todo_blocks
+
+    # -- stage 2: k-complexity per block -----------------------------------
+    per_block_stage(
+        COMPLEXITY_TABLE,
+        lambda blks, pts_: complexity_op.k_complexity(pts_, blks),
+    )
+
+    # -- stage 3: parcelization per block (reference stage 3) --------------
+    per_block_stage(
+        PARCELS_TABLE,
+        lambda blks, pts_: parcel_op.parcelize(pts_, blks),
+    )
+    parcels = store.read(spark, PARCELS_TABLE)
+    if parcels is None:
+        computed[REBLOCK_TABLE] = 0
+        return computed
+
+    # -- stage 4: Steiner reblocking per block (reference stage 5) ---------
+    per_block_stage(
+        REBLOCK_TABLE,
+        lambda blks, pts_: reblock_op.reblock(
+            parcels.join(
+                F.broadcast(blks.select("block_id")), "block_id", "left_semi"
+            ),
+            pts_,
+            blks,
+            emit="summary",
+        ),
+    )
 
     return computed
 

@@ -74,10 +74,14 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     out1 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
     assert out1["assign"] == 5_000
     assert out1["complexity"] == 16
+    assert out1["parcels"] == 16
+    assert out1["reblock_summary"] == 16
 
-    # resume on a complete store: nothing recomputed
+    # resume on a complete store: nothing recomputed in ANY stage
     out2 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
-    assert out2 == {"assign": 0, "complexity": 0}
+    assert out2 == {
+        "assign": 0, "complexity": 0, "parcels": 0, "reblock_summary": 0
+    }
 
     store = TableStore(root)
     total_assigned = store.read(spark, "assign").count()
@@ -85,13 +89,23 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     k_pdf = store.read(spark, "complexity").toPandas()
     assert len(k_pdf) == 16
 
+    # downstream tables materialized with sane shapes
+    parcels_pdf = store.read(spark, "parcels").toPandas()
+    assert parcels_pdf.block_id.nunique() == 16
+    reblock_pdf = store.read(spark, "reblock_summary").toPandas()
+    assert len(reblock_pdf) == 16
+    assert set(reblock_pdf.status) <= {0, 1, 2, 3}
+
     # simulated kill: drop the complexity table's snapshots entirely and
-    # re-run — assign resumes (0 recomputed), complexity re-runs all 16
+    # re-run — assign resumes (0 recomputed), complexity re-runs all 16,
+    # the untouched downstream tables resume from their own lineage
     import shutil
 
     shutil.rmtree(os.path.join(root, "complexity"))
     out3 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
-    assert out3 == {"assign": 0, "complexity": 16}
+    assert out3 == {
+        "assign": 0, "complexity": 16, "parcels": 0, "reblock_summary": 0
+    }
     # identical results after resume (determinism across re-runs)
     k2 = store.read(spark, "complexity").toPandas()
     m1 = k_pdf.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
