@@ -94,3 +94,57 @@ def test_minhash_bucket_cap(spark):
     # capped drops the cluster but keeps the genuine near-dup pair
     assert len(capped) < 435
     assert ((capped.d1 == 100) & (capped.d2 == 101)).any()
+
+
+def test_jaccard_df_cap_exactness(spark):
+    """The df-cap plan must stay EXACT for every pair sharing at least one
+    rare shingle: on a random corpus with deliberate hot shingles and a
+    tiny cap, jaccard_pairs must equal a brute-force pandas oracle
+    restricted to rare-shingle-sharing candidate pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from prclz_spark.operators import text as text_op
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(40)]
+    hot_phrase = "the of and"  # every doc gets it -> df = n_docs (hot)
+    docs = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=12))
+        base = " ".join(words) + " " + hot_phrase
+        docs.append({"doc_id": i, "text": base})
+        if i % 7 == 0:  # near-duplicate with one word changed
+            mutated = words.copy()
+            mutated[0] = "zz"
+            docs.append({"doc_id": 1000 + i, "text": " ".join(mutated) + " " + hot_phrase})
+    pdf = pd.DataFrame(docs)
+    cap = 5
+
+    # brute-force oracle in pandas
+    def shingle_set(t, w=3):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+    sets = {r.doc_id: shingle_set(r.text) for r in pdf.itertuples(index=False)}
+    dfc = {}
+    for s in sets.values():
+        for sh in s:
+            dfc[sh] = dfc.get(sh, 0) + 1
+    rare_sets = {d: {sh for sh in s if dfc[sh] <= cap} for d, s in sets.items()}
+    want = []
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            if not (rare_sets[d1] & rare_sets[d2]):
+                continue  # candidate rule: share >= 1 rare shingle
+            inter = len(sets[d1] & sets[d2])
+            jac = round(inter / (len(sets[d1]) + len(sets[d2]) - inter), 6)
+            if jac >= 0.5:
+                want.append((d1, d2, jac))
+    got = (
+        text_op.jaccard_pairs(spark.createDataFrame(pdf), threshold=0.5, max_df=cap)
+        .toPandas().sort_values(["d1", "d2"]).reset_index(drop=True)
+    )
+    assert len(want) > 0  # fixture produces real near-dups
+    assert [tuple(r) for r in got[["d1", "d2", "jaccard_r6"]].to_numpy()] == sorted(want)
