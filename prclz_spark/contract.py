@@ -347,9 +347,11 @@ def _sql_spatial_k_complexity_grid(sf_dir):
 def _q_spatial_reblock_status(spark, sf_dir):
     """Reblock invariant projection with a FULL SQL oracle on the grid
     fixture: after the boundary-parcel terminal filter, an m×m point grid
-    leaves (m-2)² interior-parcel terminals — m∈{2,3} leaves ≤1 terminal
-    (status 2, skipped), m∈{4,5} reblocks (status 0) with new edges and
-    existing_len bounded by the block perimeter."""
+    leaves (m-2)² interior-parcel terminals. m=2 filters to zero and
+    skips (status 2 — only the dummy outside terminal would remain,
+    i_reblock.py:293-294); m∈{3,4,5} reblocks (status 0; m=3 is the
+    one-building-plus-dummy case the reference connects to the outside
+    network) with new edges and existing_len bounded by the perimeter."""
     pts = _grid_fixture_points(spark)
     assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
     blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
@@ -370,8 +372,8 @@ def _q_spatial_reblock_status(spark, sf_dir):
 def _sql_spatial_reblock_status(sf_dir):
     return f"""
         select concat('city_', cast(b as varchar)) as block_id,
-               cast(case when 2 + b % 4 >= 4 then 0 else 2 end as int) as status,
-               (2 + b % 4 >= 4) as has_new_edges,
+               cast(case when 2 + b % 4 >= 3 then 0 else 2 end as int) as status,
+               (2 + b % 4 >= 3) as has_new_edges,
                true as existing_within_perimeter
         from (select unnest(range(0, {GRID_G * GRID_G})) as b)
     """
@@ -901,12 +903,18 @@ def _q_evt_sessionize(spark, sf_dir):
     form): per user, a new session starts when the gap to the previous
     event exceeds 30 minutes; lag + running-sum window minting. The
     streaming twin (streaming/stateful.py, applyInPandasWithState) is
-    pinned equal to this result by pytest."""
+    pinned equal to this result by pytest.
+
+    The gap compares INTEGER MICROSECONDS on all three implementations
+    (unix_micros here, epoch_us in DuckDB, pandas .value//1000 in the
+    stateful kernel) — second-truncated or fractional-double gaps would
+    split sessions differently on sub-second timestamps."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     new_sess = F.when(
-        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), F.lit(1)
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     sess = ev.withColumn("sess_idx", F.sum(new_sess).over(w))
     return sess.groupBy("user_id", "sess_idx").agg(
@@ -921,8 +929,8 @@ def _sql_evt_sessionize(sf_dir):
         with flagged as (
           select user_id, event_id, ts,
                  case when lag(ts) over (partition by user_id order by ts, event_id) is null
-                        or epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id))
-                           > {SESSION_GAP_MIN * 60}
+                        or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts, event_id))
+                           > {SESSION_GAP_MIN * 60 * 1_000_000}
                       then 1 else 0 end as new_sess
           from events
         ),

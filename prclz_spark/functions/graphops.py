@@ -341,8 +341,9 @@ class PlanarGraph:
     ) -> tuple[dict[Coord, float], dict[Coord, Coord]]:
         """Single-source shortest paths; with ``targets`` the search stops
         once every target is settled (settled distances/paths are final,
-        so the early exit is exact) — the metric closure only needs
-        terminal-to-terminal rows, not the whole graph."""
+        so the early exit is exact). Used by ``shortest_path`` for bounded
+        point-to-point walks (e.g. the boundary relabel); the Steiner
+        metric closure runs its own integer-indexed variant."""
         dist = {src: 0.0}
         prev: dict[Coord, Coord] = {}
         pq: list[tuple[float, Coord]] = [(0.0, src)]
@@ -366,7 +367,7 @@ class PlanarGraph:
         return dist, prev
 
     def shortest_path(self, u: Coord, v: Coord) -> tuple[float, list[Coord]]:
-        dist, prev = self.dijkstra(u)
+        dist, prev = self.dijkstra(u, targets={v})
         if v not in dist:
             return float("inf"), []
         path = [v]

@@ -122,11 +122,20 @@ def _canonical_ring_key(r: np.ndarray) -> tuple:
         vs = vs[:-1]
     if not vs:
         return ()
-    i = min(range(len(vs)), key=lambda j: vs[j])
-    fwd = tuple(vs[i:] + vs[:i])
-    rev_vs = vs[i::-1] + vs[:i:-1]
-    rev = tuple(rev_vs)
-    return min(fwd, rev)
+    # the minimum vertex can occur MORE THAN ONCE (pinched/self-touching
+    # face) — consider every occurrence as a rotation start in both
+    # directions, else the key would depend on the trace's starting point
+    lo = min(vs)
+    best = None
+    for i, v in enumerate(vs):
+        if v != lo:
+            continue
+        fwd = tuple(vs[i:] + vs[:i])
+        rev = tuple(vs[i::-1] + vs[:i:-1])
+        cand = min(fwd, rev)
+        if best is None or cand < best:
+            best = cand
+    return best
 
 
 def mint_block_ids(rings: list[np.ndarray], region_id: str

@@ -110,11 +110,17 @@ def _relabel_boundary_edges(
     between the two vertices and relabel those edges by the segment's
     feature type — 'highway' → weight 0 (existing road), waterway/natural
     → 1e5 (barrier), anything else (gadm_boundary) keeps its length
-    weight. Missing vertices skip the segment, as in the reference."""
+    weight. Missing vertices skip the segment, as in the reference.
+
+    Two-phase like the reference: ALL walks run on the original length
+    weights (the reference sets only edge_type in the loop and assigns
+    weights after it) — mutating weights mid-loop would let later walks
+    detour through already-zeroed sides and miss their own boundary."""
     b = block_ring
     if len(b) >= 2 and np.array_equal(b[0], b[-1]):
         b = b[:-1]
     n = len(b)
+    assigned: dict[frozenset, tuple] = {}
     for i in range(n):
         t = boundary_types[i] if boundary_types is not None else "highway"
         n0 = (float(b[i][0]), float(b[i][1]))
@@ -123,15 +129,20 @@ def _relabel_boundary_edges(
             continue
         _, path = g.shortest_path(n0, n1)
         for u, v in zip(path, path[1:]):
-            if t == "highway":
-                g.adj[u][v] = 0.0
-                g.adj[v][u] = 0.0
-                g.mark_road(u, v)
-            elif t in BARRIER_TYPES:
-                w = WATERWAY_WEIGHT if t == "waterway" else NATURAL_WEIGHT
-                g.adj[u][v] = w
-                g.adj[v][u] = w
-            # else: gadm_boundary — keep the length weight
+            # keyed per undirected edge; a later segment's walk over the
+            # same edge overwrites its type, like the reference's
+            # es[path]['edge_type'] assignment
+            assigned[frozenset((u, v))] = (u, v, t)
+    for u, v, t in assigned.values():
+        if t == "highway":
+            g.adj[u][v] = 0.0
+            g.adj[v][u] = 0.0
+            g.mark_road(u, v)
+        elif t in BARRIER_TYPES:
+            w = WATERWAY_WEIGHT if t == "waterway" else NATURAL_WEIGHT
+            g.adj[u][v] = w
+            g.adj[v][u] = w
+        # else: gadm_boundary — keep the length weight
 
 
 def reblock_kernel(
@@ -162,10 +173,22 @@ def reblock_kernel(
     snapped = [geom.snap_ring(r) for r in parcel_rings]
     terminals_xy = np.asarray(terminals_xy, dtype=float).reshape(-1, 2)
 
+    def _skip(n_term: int) -> tuple[list, dict]:
+        return [], {
+            "status": 2, "n_terminals": int(n_term),
+            "n_nodes_pre": 0, "n_edges_pre": 0,
+            "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+
+    # guard 1 (i_reblock.py:280-281): a block with <=1 RAW buildings is
+    # skipped before any filtering or the dummy terminal
+    if len(terminals_xy) <= 1:
+        return _skip(len(terminals_xy))
+
     if (
         drop_boundary_parcels
         and terminal_cells is not None
-        and len(terminals_xy) > 0
         and len(snapped) > 0
     ):
         bsegs = _boundary_segments(block_ring)
@@ -178,18 +201,14 @@ def reblock_kernel(
         )
         terminals_xy = terminals_xy[keep]
 
-    if len(terminals_xy) <= 1:
-        # few-real-terminals skip (i_reblock.py:280-294): the reference
-        # guards ``len(buildings) <= 1`` AFTER the boundary-parcel filter
-        # but BEFORE synthesizing the dummy outside terminal — a block
-        # left with <=1 building is skipped, never reblocked against the
-        # synthetic terminal alone.
-        return [], {
-            "status": 2, "n_terminals": int(len(terminals_xy)),
-            "n_nodes_pre": 0, "n_edges_pre": 0,
-            "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
-            "wall_ms": int((time.time() - t0) * 1000),
-        }
+    # guard 2 (i_reblock.py:293-294): re-checked AFTER the boundary-parcel
+    # filter WITH the dummy outside terminal already appended — one
+    # surviving interior building plus the dummy (len 2) DOES reblock,
+    # connecting that building to the outside road network; only a block
+    # filtered to zero buildings skips here
+    n_with_dummy = len(terminals_xy) + (1 if outside_terminal else 0)
+    if n_with_dummy <= 1:
+        return _skip(len(terminals_xy))
     if max_terminals and len(terminals_xy) > max_terminals:
         step = len(terminals_xy) / max_terminals
         idx = (np.arange(max_terminals) * step).astype(int)

@@ -317,3 +317,75 @@ def test_reblock_with_outside_terminal_connected():
     for _, a, b, _ in edges:
         g.add_edge(a, b)
     assert len(g.connected_components()) == 1
+
+
+def test_relabel_covers_entire_boundary():
+    """Regression: relabel walks must run on the ORIGINAL length weights
+    (two-phase, like the reference's update_edge_types) — zeroing weights
+    mid-loop let later segments' walks detour through already-zeroed
+    sides, leaving whole boundary sides unrelabeled."""
+    from prclz_spark.operators.reblock import (
+        _boundary_segments,
+        _relabel_boundary_edges,
+    )
+    from prclz_spark.functions.graphops import PlanarGraph
+
+    cells_2x2 = [
+        np.array([[x0, y0], [x0 + 0.5, y0], [x0 + 0.5, y0 + 0.5], [x0, y0 + 0.5]])
+        for x0 in (0.0, 0.5)
+        for y0 in (0.0, 0.5)
+    ]
+    g = PlanarGraph.from_polygons([geom.snap_ring(c) for c in cells_2x2])
+    _relabel_boundary_edges(g, geom.snap_ring(RING), None)
+    bsegs = _boundary_segments(geom.snap_ring(RING))
+    for u, v in g.edges():
+        mx, my = (u[0] + v[0]) / 2.0, (u[1] + v[1]) / 2.0
+        pts_on = [
+            geom.seg_point_distance(
+                bsegs[:, 0, 0], bsegs[:, 0, 1], bsegs[:, 1, 0], bsegs[:, 1, 1],
+                np.full(4, px), np.full(4, py),
+            )[0].min() <= 1e-9
+            for px, py in (u, v, (mx, my))
+        ]
+        if all(pts_on):  # a true boundary edge
+            assert g.adj[u][v] == 0.0, (u, v)
+            assert frozenset((u, v)) in g.road_edges
+
+
+def test_one_interior_building_reblocks_with_dummy():
+    """i_reblock.py:283-296: the dummy outside terminal is appended BEFORE
+    the second <=1 guard, so a block with exactly ONE surviving interior
+    building reblocks (building connected to the outside network) instead
+    of skipping."""
+    n = 40  # dense enough that interior (non-boundary-touching) cells exist
+    pts = _pts(n, seed=2)
+    parcels = block_parcels(RING, [f"p{i}" for i in range(n)], pts)
+    rings = [c for _, c in parcels]
+    # keep only the single most-interior point as a terminal candidate
+    bsegs = np.stack([RING, np.roll(RING, -1, axis=0)], axis=1)
+
+    def ring_min_d(r):
+        return geom.seg_point_distance(
+            np.repeat(bsegs[:, 0, 0], len(r)), np.repeat(bsegs[:, 0, 1], len(r)),
+            np.repeat(bsegs[:, 1, 0], len(r)), np.repeat(bsegs[:, 1, 1], len(r)),
+            np.tile(r[:, 0], 4), np.tile(r[:, 1], 4),
+        )[0].min()
+
+    dmins = [ring_min_d(geom.snap_ring(r)) for r in rings]
+    best = int(np.argmax(dmins))
+    assert dmins[best] > 1e-9  # genuinely interior parcel
+    edge_cell = int(np.argmin(dmins))  # a boundary-touching parcel
+    # raw list of 2 buildings passes guard 1; the boundary one is
+    # filtered, leaving 1 survivor + dummy = 2 terminals -> reblock
+    two = np.array([pts[best], pts[edge_cell]])
+    cells2 = np.array([best, edge_cell])
+    edges, s = reblock_kernel(
+        RING, rings, two, terminal_cells=cells2, outside_terminal=True,
+    )
+    assert s["status"] == 0
+    assert s["n_new_edges"] > 0
+    # without the dummy the same block skips (1 survivor <= 1)
+    _, s2 = reblock_kernel(
+        RING, rings, two, terminal_cells=cells2, outside_terminal=False,
+    )
+    assert s2["status"] == 2
