@@ -1332,9 +1332,12 @@ def _sql_img_payload_fidelity(sf_dir):
 
 
 def _q_img_tile_stats(spark, sf_dir):
-    """Decode payloads → per-tile mean RGB (no SQL oracle: pixel decode is
-    not SQL-expressible; driver records rows-only check, pytest pins
-    values against the pure-numpy codec)."""
+    """Decode payloads → per-tile mean RGB. The engine must actually
+    decode every byte payload ('raw' memcpy, 'q6' 6-bit expand); the
+    oracle never touches the bytes — it re-derives the expected means
+    from the closed-form synthetic pixel pattern (pixel = (3x + 7y +
+    13·(id%997) + channel_offset) mod 256, q6-quantized for odd ids), so
+    any decode bug cannot agree with it."""
     img = _images(spark, sf_dir)
     out = tiles.tile_pixel_stats(img, t=TILE_T)
     return out.select(
@@ -1343,6 +1346,35 @@ def _q_img_tile_stats(spark, sf_dir):
         F.round("mean_g", 6).alias("mean_g_r6"),
         F.round("mean_b", 6).alias("mean_b_r6"),
     )
+
+
+def _sql_img_tile_stats(sf_dir):
+    # q6 roundtrip (encode >>2, decode (q<<2)|(q>>4)) in integer form:
+    # q = v//4; decoded = q*4 + q//16 (the OR adds disjoint bit ranges)
+    def dec(c):
+        v = f"((base + {c}) % 256)"
+        return f"case when fmt = 'raw' then {v} else ((({v}) // 4) * 4 + (({v}) // 4) // 16) end"
+
+    half = 16 // TILE_T
+    return f"""
+        with imgs as (
+          select image_id, fmt,
+                 cast(substring(image_id, 5, 9) as bigint) % 997 as idm
+          from read_parquet('{images_parquet_path(sf_dir)}')
+        ),
+        px as (
+          select image_id, fmt, x, y, (x * 3 + y * 7 + idm * 13) as base
+          from imgs,
+               (select unnest(range(0, 16)) as x),
+               (select unnest(range(0, 16)) as y)
+        )
+        select image_id, y // {half} as tile_row, x // {half} as tile_col,
+               round(avg({dec(0)}), 6) as mean_r_r6,
+               round(avg({dec(31)}), 6) as mean_g_r6,
+               round(avg({dec(62)}), 6) as mean_b_r6
+        from px
+        group by 1, 2, 3
+    """
 
 
 # ===========================================================================
@@ -1396,7 +1428,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
-    "img_tile_stats": (_q_img_tile_stats, None),  # rows-only: pixel decode
+    "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
     "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
 }
 
