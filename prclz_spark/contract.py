@@ -542,7 +542,7 @@ def _sql_spatial_road_dist_metrics(sf_dir):
                             else 'off_road' end as road_class
                 from pts)
         select count(*) as n_points,
-               sum(case when road_class = 'near_road' then 1 else 0 end) as n_matched,
+               cast(sum(case when road_class = 'near_road' then 1 else 0 end) as bigint) as n_matched,
                round(cast(sum(case when road_class = 'off_road' then 1 else 0 end) as double)
                      / cast(count(*) as double), 6) as nonmatch_rate_r6,
                round(cast(quantile_cont(road_dist, 0.5)
@@ -936,8 +936,8 @@ def _sql_evt_sessionize(sf_dir):
         ),
         sess as (
           select user_id, ts,
-                 sum(new_sess) over (partition by user_id order by ts, event_id
-                                     rows unbounded preceding) as sess_idx
+                 cast(sum(new_sess) over (partition by user_id order by ts, event_id
+                                          rows unbounded preceding) as bigint) as sess_idx
           from flagged
         )
         select user_id, sess_idx, count(*) as n_events,
