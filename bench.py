@@ -92,10 +92,15 @@ def bench_tiles(spark, n: int, partitions: int) -> tuple[float, int]:
     return time.perf_counter() - t0, n_tiles
 
 
+def _median3(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
 
     spark = get_spark(
         app_name="prclz_spark_bench",
@@ -107,42 +112,76 @@ def main() -> None:
     # warm the JVM + Arrow path once (tiny run, not measured)
     bench_assign(spark, 10_000, 4)
 
-    assign_s, n_assigned = bench_assign(spark, bench_n, cpus * 2)
-    tiles_s, n_tiles = bench_tiles(spark, bench_n, cpus * 2)
+    # headline: median-of-3 (host-noise variance is ~±40% on single runs)
+    assign_runs, tile_runs = [], []
+    for _ in range(3):
+        s, n_assigned = bench_assign(spark, bench_n, cpus * 2)
+        assign_runs.append(s)
+        s, n_tiles = bench_tiles(spark, bench_n, cpus * 2)
+        tile_runs.append(s)
+    assign_s, tiles_s = _median3(assign_runs), _median3(tile_runs)
 
-    qtimes: dict[str, float] = {}
-    qtimes_warm: dict[str, float] = {}
+    # per query: one cold run (codegen/broadcast/fixture first-touch), then
+    # median of `warm_runs` warm runs — the steady-state number the driver
+    # records. Cold times + individual warm samples go to the detail file;
+    # the printed line carries ONLY the warm medians so it stays compact
+    # enough to survive the driver's bounded tail capture (r2's two-dict
+    # line was truncated mid-JSON and failed to parse).
+    qcold: dict[str, float] = {}
+    qmed: dict[str, float] = {}
+    qsamples: dict[str, list[float]] = {}
     for name, fn in contract.queries().items():
-        t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
-            # second (warm) run: codegen/broadcast/fixture costs amortized —
-            # the steady-state number, far less sensitive to host noise
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            qtimes_warm[name] = round(time.perf_counter() - t0, 3)
+            qcold[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(warm_runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+            qsamples[name] = samples
+            qmed[name] = round(_median3(samples), 2)
         except Exception as exc:  # never fail the whole bench on one query
-            qtimes[name] = -1.0
+            qmed[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
 
     images_per_sec = n_assigned / assign_s if assign_s > 0 else 0.0
-    print(json.dumps({
+    # the printed line must fit the driver's 2000-char tail capture
+    # (measured from BENCH_r02.json); row counts / cold times / individual
+    # warm samples live in BENCH/bench_detail.json instead
+    result = {
         "metric": "images_assigned_per_sec",
         "value": round(images_per_sec, 1),
         "unit": "sec",
-        "queries": qtimes,
-        "queries_warm": qtimes_warm,
+        "queries": qmed,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
-        "bench_points": bench_n,
         "assign_sec": round(assign_s, 3),
-        "assigned_rows": n_assigned,
-        "tile_sec": round(tiles_s, 3),
-        "tile_rows": n_tiles,
         "tiles_per_sec": round(n_tiles / tiles_s, 1) if tiles_s > 0 else 0.0,
         "cpus": cpus,
+        "warm_runs": warm_runs,
         "mp_pool_ceiling_4to16": machine_ceiling_4to16(),
-    }))
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**result, "queries_cold": qcold,
+                       "queries_warm_samples": qsamples,
+                       "bench_points": bench_n,
+                       "assigned_rows": n_assigned,
+                       "tile_sec": round(tiles_s, 3),
+                       "tile_rows": n_tiles,
+                       "assign_runs": [round(x, 3) for x in assign_runs],
+                       "tile_runs": [round(x, 3) for x in tile_runs]}, fh, indent=1)
+    except OSError as exc:
+        print(f"# bench detail write failed: {exc}", file=sys.stderr)
+    line = json.dumps(result)
+    if len(line) > 1900:
+        print(f"# bench line {len(line)} chars; driver tail is 2000 — trim",
+              file=sys.stderr)
+    print(line)
     spark.stop()
 
 

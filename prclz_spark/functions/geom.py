@@ -303,6 +303,251 @@ def _line_isect(p, q, a, b):
     return np.array([px + t * dx1, py + t * dy1])
 
 
+def is_axis_rect(ring: np.ndarray) -> bool:
+    """True iff the ring is a plain axis-aligned rectangle (4 distinct
+    vertices, every edge axis-parallel). Fast path detector for the
+    closed-form rect∩rect overlap."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) != 4:
+        return False
+    dx = np.roll(ring[:, 0], -1) - ring[:, 0]
+    dy = np.roll(ring[:, 1], -1) - ring[:, 1]
+    return bool(np.all((dx == 0) | (dy == 0)) and np.all((dx != 0) | (dy != 0)))
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """True iff the simple ring is convex (all turn cross-products share a
+    sign; collinear vertices allowed)."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) < 4:
+        return True
+    d = np.roll(ring, -1, axis=0) - ring
+    cross = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+    return bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+
+
+def _fan_triangles(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Signed triangle-fan decomposition about the vertex mean: triangles
+    (O, v_i, v_{i+1}) with signed areas. For a CCW simple polygon the
+    signed indicator functions of the fan sum to the polygon's indicator
+    (winding-number identity), so non-convexity is handled by
+    cancellation. Returns (m,3,2) triangles and (m,) signed areas."""
+    if ring.shape[0] >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    o = ring.mean(axis=0)
+    a, b = ring, np.roll(ring, -1, axis=0)
+    s = 0.5 * ((a[:, 0] - o[0]) * (b[:, 1] - o[1]) - (a[:, 1] - o[1]) * (b[:, 0] - o[0]))
+    tris = np.stack([np.broadcast_to(o, a.shape), a, b], axis=1)
+    keep = np.abs(s) > 1e-18
+    return tris[keep], s[keep]
+
+
+def intersection_area(ring_a: np.ndarray, ring_b: np.ndarray) -> float:
+    """|A ∩ B| for two ARBITRARY simple polygons (either may be
+    non-convex; the intersection may be disconnected) — replaces shapely's
+    ``.intersection(...).area`` (/root/reference/prclz/complexity.py:28)
+    where neither operand is known convex.
+
+    Signed fan identity: 1_A = Σ_i σ_i 1_{T_i}, 1_B = Σ_j τ_j 1_{U_j}
+    (fans about each polygon's vertex mean, CCW orientation), so
+    area(A∩B) = Σ_{i,j} σ_i τ_j |T_i ∩ U_j| with every T∩U a
+    convex-convex clip. O(n·m) triangle pairs, exact up to FP."""
+    ring_a, ring_b = np.asarray(ring_a, float), np.asarray(ring_b, float)
+    if signed_ring_area2(ring_a) < 0:
+        ring_a = ring_a[::-1]
+    if signed_ring_area2(ring_b) < 0:
+        ring_b = ring_b[::-1]
+    # bbox reject
+    if (ring_a[:, 0].max() < ring_b[:, 0].min() or ring_b[:, 0].max() < ring_a[:, 0].min()
+            or ring_a[:, 1].max() < ring_b[:, 1].min() or ring_b[:, 1].max() < ring_a[:, 1].min()):
+        return 0.0
+    ta, sa = _fan_triangles(ring_a)
+    tb, sb = _fan_triangles(ring_b)
+    total = 0.0
+    for i in range(len(ta)):
+        tri_a = ta[i] if sa[i] > 0 else ta[i][::-1]
+        # bbox of tri_a for cheap rejects
+        ax0, ay0 = tri_a[:, 0].min(), tri_a[:, 1].min()
+        ax1, ay1 = tri_a[:, 0].max(), tri_a[:, 1].max()
+        for j in range(len(tb)):
+            tri_b = tb[j]
+            if (tri_b[:, 0].min() > ax1 or tri_b[:, 0].max() < ax0
+                    or tri_b[:, 1].min() > ay1 or tri_b[:, 1].max() < ay0):
+                continue
+            clipped = clip_polygon_convex(tri_b, tri_a)
+            if len(clipped) >= 3:
+                area = 0.5 * signed_ring_area2(clipped)
+                total += np.sign(sa[i]) * np.sign(sb[j]) * abs(area)
+    return abs(total)
+
+
+def polygon_intersection(subject: np.ndarray, clipper: np.ndarray) -> list[np.ndarray]:
+    """Clip an ARBITRARY simple ``subject`` polygon against a CONVEX
+    ``clipper``, returning a LIST of disjoint rings — the geometry-true
+    replacement for ``clip_polygon_convex`` when the subject is
+    non-convex and subject∩clipper may be disconnected (a U-shaped block
+    ∩ a Voronoi cell), where Sutherland–Hodgman emits one ring with
+    degenerate bridges (correct area, phantom mesh edges).
+
+    Convex-clipper Weiler chain-stitch: (1) clip every subject edge to
+    the clipper's half-plane intersection (parametric interval clamp —
+    each edge keeps at most one sub-segment), (2) chain consecutive kept
+    sub-segments, (3) join each chain's exit to the next chain entry
+    CCW along the clipper boundary, inserting passed clipper corners.
+    Reference semantics: shapely .intersection
+    (/root/reference/prclz/complexity.py:28)."""
+    subject = np.asarray(subject, float)
+    clipper = np.asarray(clipper, float)
+    if subject.shape[0] >= 2 and np.array_equal(subject[0], subject[-1]):
+        subject = subject[:-1]
+    if clipper.shape[0] >= 2 and np.array_equal(clipper[0], clipper[-1]):
+        clipper = clipper[:-1]
+    if signed_ring_area2(subject) < 0:
+        subject = subject[::-1]
+    if signed_ring_area2(clipper) < 0:
+        clipper = clipper[::-1]
+    eps = 1e-12
+
+    # fast path: convex subject — plain SH is already geometry-true
+    if is_convex_ring(subject):
+        out = clip_polygon_convex(subject, clipper)
+        return [out] if len(out) >= 3 and ring_area(out) > 0 else []
+
+    m = len(clipper)
+    cx, cy = clipper[:, 0], clipper[:, 1]
+    ex = np.roll(cx, -1) - cx
+    ey = np.roll(cy, -1) - cy
+
+    # --- 1. per-edge parametric clip against all clipper half-planes
+    n = len(subject)
+    segs = []  # (sub_edge_idx, t0, t1, p0, p1)
+    for i in range(n):
+        p = subject[i]
+        q = subject[(i + 1) % n]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for k in range(m):
+            # inside == left of edge k: ex*(y-cy) - ey*(x-cx) >= 0
+            f_p = ex[k] * (p[1] - cy[k]) - ey[k] * (p[0] - cx[k])
+            df = ex[k] * dy - ey[k] * dx
+            if abs(df) < 1e-30:
+                if f_p < -eps:
+                    ok = False
+                    break
+                continue
+            t_cross = -f_p / df
+            if df > 0:  # entering
+                t0 = max(t0, t_cross)
+            else:  # leaving
+                t1 = min(t1, t_cross)
+            if t0 > t1 + eps:
+                ok = False
+                break
+        if ok and t1 - t0 > eps:
+            a = np.array([p[0] + t0 * dx, p[1] + t0 * dy])
+            b = np.array([p[0] + t1 * dx, p[1] + t1 * dy])
+            segs.append((i, t0, t1, a, b))
+
+    if not segs:
+        # disjoint, or clipper wholly inside subject
+        if point_in_polygon(float(clipper[:, 0].mean()), float(clipper[:, 1].mean()), subject):
+            return [clipper.copy()]
+        return []
+
+    # --- 2. chain consecutive sub-segments (subject walk order)
+    full = all(t0 <= eps and t1 >= 1 - eps for _, t0, t1, _, _ in segs)
+    if full and len(segs) == n:
+        return [subject.copy()]  # subject wholly inside clipper
+
+    def close_pt(a, b):
+        return abs(a[0] - b[0]) <= 1e-9 and abs(a[1] - b[1]) <= 1e-9
+
+    chains: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for idx in range(len(segs)):
+        i, t0, t1, a, b = segs[idx]
+        if cur and close_pt(cur[-1], a):
+            cur.append(b)
+        else:
+            if cur:
+                chains.append(cur)
+            cur = [a, b]
+    if cur:
+        chains.append(cur)
+    # the walk may wrap: last chain can connect to the first
+    if len(chains) > 1 and close_pt(chains[-1][-1], chains[0][0]):
+        chains[0] = chains[-1] + chains[0][1:]
+        chains.pop()
+    if len(chains) == 1 and close_pt(chains[0][-1], chains[0][0]):
+        ring = np.asarray(chains[0][:-1])
+        return [ring] if len(ring) >= 3 and ring_area(ring) > 0 else []
+
+    # --- 3. stitch chains along the clipper boundary (CCW)
+    seg_len = np.hypot(ex, ey)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    perim = cum[-1]
+
+    def boundary_pos(pt) -> float:
+        """Arc-length position of a point on the clipper boundary."""
+        best = (np.inf, 0.0)
+        for k in range(m):
+            L = seg_len[k]
+            if L < 1e-30:
+                continue
+            t = ((pt[0] - cx[k]) * ex[k] + (pt[1] - cy[k]) * ey[k]) / (L * L)
+            t = min(1.0, max(0.0, t))
+            qx_, qy_ = cx[k] + t * ex[k], cy[k] + t * ey[k]
+            d = np.hypot(pt[0] - qx_, pt[1] - qy_)
+            if d < best[0]:
+                best = (d, cum[k] + t * L)
+        return best[1] % perim
+
+    entries = [(boundary_pos(c[0]), ci) for ci, c in enumerate(chains)]
+    rings: list[np.ndarray] = []
+    used = [False] * len(chains)
+    for start in range(len(chains)):
+        if used[start]:
+            continue
+        ring_pts: list[np.ndarray] = []
+        ci = start
+        while not used[ci]:
+            used[ci] = True
+            ring_pts.extend(chains[ci])
+            exit_pos = boundary_pos(chains[ci][-1])
+            # next entry CCW along the boundary from exit_pos
+            nxt, best_d = None, np.inf
+            for pos, cj in entries:
+                if used[cj] and cj != start:
+                    continue
+                d = (pos - exit_pos) % perim
+                if d < best_d:
+                    best_d, nxt = d, (pos, cj)
+            if nxt is None:
+                break
+            pos, cj = nxt
+            # insert clipper corners passed CCW between exit_pos and pos
+            for off, k in sorted(((cum[k] - exit_pos) % perim, k) for k in range(m)):
+                if 1e-9 < off < best_d - 1e-9:
+                    ring_pts.append(clipper[k].copy())
+            if cj == start:
+                break
+            ci = cj
+        ring = np.asarray(ring_pts)
+        # drop consecutive duplicates (chain joins can coincide)
+        if len(ring) >= 2:
+            keep = np.ones(len(ring), bool)
+            keep[1:] = np.hypot(*(ring[1:] - ring[:-1]).T) > 1e-9
+            if close_pt(ring[-1], ring[0]) and len(ring) > 1:
+                keep[-1] = False
+            ring = ring[keep]
+        if len(ring) >= 3 and ring_area(ring) > 0:
+            rings.append(ring)
+    return rings
+
+
 def clip_polygon_rect(subject: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
     rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
     return clip_polygon_convex(subject, rect)

@@ -246,42 +246,22 @@ def largest_overlap_assign(
     orders of magnitude heavier to ship/broadcast for zero information."""
     from pyspark.sql import Window
 
-    cen_schema = T.StructType(
-        [
-            T.StructField(feature_id, T.StringType()),
-            T.StructField("geometry", RING_TYPE),
-            T.StructField("lon", T.DoubleType()),
-            T.StructField("lat", T.DoubleType()),
-        ]
+    from ..functions import geomcols
+
+    # centroid is pure Column arithmetic (geomcols) — the former
+    # mapInPandas stage paid ~9 s / 20k rows in nested-array Arrow
+    # round-trips before any work happened
+    feats = geomcols.with_ring_centroid(
+        features.select(feature_id, F.col(geometry_col).alias("geometry"))
     )
-
-    def centroids(batches):
-        for pdf in batches:
-            lons, lats = [], []
-            for g in pdf[geometry_col]:
-                ring = geom.ring_to_np(g)
-                cx, cy = geom.ring_centroid(ring)
-                lons.append(cx)
-                lats.append(cy)
-            yield pd.DataFrame(
-                {
-                    feature_id: pdf[feature_id],
-                    "geometry": pdf[geometry_col],
-                    "lon": lons,
-                    "lat": lats,
-                }
-            )
-
-    feats = features.mapInPandas(centroids, cen_schema)
     feats_cells = feats.withColumn(
         "cell", F.explode(cells.kring_cells(F.col("lon"), F.col("lat"), res, 1))
     )
     # candidate (feature, block) pairs: dedupe on NARROW id columns only —
     # deduping rows that carry nested-array geometries forces a slow
-    # object-based aggregate — then re-attach both geometries. The explicit
-    # partition count keeps the CPU-heavy clip stage wide (AQE would
-    # coalesce the byte-small shuffle).
-    n_part = features.sparkSession.sparkContext.defaultParallelism * 2
+    # object-based aggregate — then re-attach both geometries. With the
+    # rect fast path the clip stage is no longer CPU-bound, so AQE's
+    # byte-based coalescing is left alone here.
     cov_ids = cover.select("cell", "block_id")
     if block_geoms is not None:
         blocks_geo = block_geoms.select(
@@ -298,34 +278,97 @@ def largest_overlap_assign(
         feats_cells.select(feature_id, "cell")
         .join(cov_ids, on="cell", how="inner")
         .select(feature_id, "block_id")
-        .repartition(n_part, feature_id)
         .dropDuplicates([feature_id, "block_id"])
     )
-    cand = pair_ids.join(
-        feats.select(feature_id, "geometry"), on=feature_id
-    ).join(blocks_geo, on="block_id")
+    # bbox + axis-rect flags, all Column arithmetic: rect×rect pairs (the
+    # dominant case for footprint squares over grid blocks) score as a
+    # clamped product in codegen. The nested ring columns still ride the
+    # (JVM) joins, but are NULLED before the Arrow boundary for rect
+    # pairs — nested-array Arrow serialization is ~350µs/row and must
+    # never touch the bulk path, while a null ships for free. One linear
+    # plan: branching into a rect/non-rect union would re-execute the
+    # whole candidate subtree (scan→explode→join→dedupe) once per branch.
+    feats_all = geomcols.with_ring_bounds_rect(feats, "geometry", "f_").select(
+        feature_id, "geometry", "f_x0", "f_y0", "f_x1", "f_y1", "f_rect"
+    )
+    blocks_all = geomcols.with_ring_bounds_rect(blocks_geo, "block_geometry", "b_")
+    if broadcast_cover:
+        blocks_all = F.broadcast(blocks_all)
+    cand = pair_ids.join(feats_all, on=feature_id).join(blocks_all, on="block_id")
+    ow = F.least("f_x1", "b_x1") - F.greatest("f_x0", "b_x0")
+    oh = F.least("f_y1", "b_y1") - F.greatest("f_y0", "b_y0")
+    is_rect = F.col("f_rect") & F.col("b_rect")
+    g_in = F.when(is_rect, F.lit(None).cast(RING_TYPE)).otherwise(F.col("geometry"))
+    bg_in = F.when(is_rect, F.lit(None).cast(RING_TYPE)).otherwise(
+        F.col("block_geometry")
+    )
 
     @pandas_udf(T.DoubleType())
     def overlap_area(feat_geom: pd.Series, block_id: pd.Series, block_geom: pd.Series) -> pd.Series:
-        out = np.zeros(len(feat_geom))
-        codes, uniques = pd.factorize(block_id)
+        """|feature ∩ block| per candidate pair, three tiers:
+
+        1. axis-rect × axis-rect → closed-form clamped product, numpy-
+           vectorized over the whole block group (the dominant case for
+           footprint-style squares — no per-pair Python at all);
+        2. convex block → one Sutherland–Hodgman clip per pair (area is
+           exact for ANY simple feature when the CLIPPER is convex);
+        3. non-convex block → signed-triangle-fan ``intersection_area``
+           (exact for arbitrary simple polygons, disconnected overlaps
+           included — shapely .intersection semantics,
+           midway_parcelization.R:116)."""
+        n = len(feat_geom)
+        out = np.zeros(n)
+        # rect×rect rows arrive with geometry nulled (scored JVM-side)
+        valid = feat_geom.notna() & block_geom.notna()
+        frings = {i: geom.ring_to_np(feat_geom.iloc[i]) for i in np.nonzero(valid.to_numpy())[0]}
+        if not frings:
+            return pd.Series(out)
+        fb = np.zeros((n, 4))
+        frect = np.zeros(n, bool)
+        for i, r in frings.items():
+            fb[i] = geom.ring_bounds(r)
+            frect[i] = geom.is_axis_rect(r)
+        codes, uniques = pd.factorize(block_id.where(valid))
         for k in range(len(uniques)):
             ii = np.nonzero(codes == k)[0]
             bring = geom.ring_to_np(block_geom.iloc[ii[0]])  # parse once/block
-            for i in ii:
-                fring = geom.ring_to_np(feat_geom.iloc[i])
-                clipped = geom.clip_polygon_convex(bring, fring)
-                out[i] = geom.ring_area(clipped) if len(clipped) >= 3 else 0.0
+            bx0, by0, bx1, by1 = geom.ring_bounds(bring)
+            # bbox reject for the whole group (overlap provably 0)
+            w = np.minimum(fb[ii, 2], bx1) - np.maximum(fb[ii, 0], bx0)
+            h = np.minimum(fb[ii, 3], by1) - np.maximum(fb[ii, 1], by0)
+            live = ii[(w > 0) & (h > 0)]
+            if geom.is_axis_rect(bring):
+                rr = live[frect[live]]
+                if len(rr):
+                    out[rr] = (
+                        np.minimum(fb[rr, 2], bx1) - np.maximum(fb[rr, 0], bx0)
+                    ) * (np.minimum(fb[rr, 3], by1) - np.maximum(fb[rr, 1], by0))
+                rest = live[~frect[live]]
+            else:
+                rest = live
+            if len(rest) == 0:
+                continue
+            if geom.is_convex_ring(bring):
+                for i in rest:
+                    clipped = geom.clip_polygon_convex(frings[i], bring)
+                    out[i] = geom.ring_area(clipped) if len(clipped) >= 3 else 0.0
+            else:
+                for i in rest:
+                    out[i] = geom.intersection_area(frings[i], bring)
         return pd.Series(out)
 
     scored = cand.withColumn(
         "overlap",
-        overlap_area(F.col("geometry"), F.col("block_id"), F.col("block_geometry")),
-    ).filter(F.col("overlap") > 0)
+        F.when(is_rect, F.greatest(ow, F.lit(0.0)) * F.greatest(oh, F.lit(0.0)))
+        .otherwise(overlap_area(g_in, F.col("block_id"), bg_in)),
+    ).select(feature_id, "block_id", "overlap")
     w = Window.partitionBy(feature_id).orderBy(F.desc("overlap"), F.asc("block_id"))
+    # the >0 filter runs AFTER the argmax: filtering first would force the
+    # UDF to evaluate twice (once in the Filter, once in the Project); a
+    # zero-overlap winner means every candidate was zero — same rows out
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter((F.col("__rn") == 1) & (F.col("overlap") > 0))
         .select(feature_id, "block_id", "overlap")
     )
 

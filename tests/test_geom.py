@@ -120,3 +120,94 @@ def test_haversine():
     # 1 degree of longitude at the equator ≈ 111.2 km
     d = geom.haversine_m(0.0, 0.0, 1.0, 0.0)
     assert d == pytest.approx(111_194, rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# non-convex intersection (area + multi-ring clip)
+# ---------------------------------------------------------------------------
+
+U_RING = np.array([  # U-shape: prongs x∈[0,1] and x∈[2,3], base y∈[0,1], top y=3
+    [0, 0], [3, 0], [3, 3], [2, 3], [2, 1], [1, 1], [1, 3], [0, 3],
+], dtype=float)
+
+L_RING = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
+
+
+def test_intersection_area_convex_matches_sh():
+    tri = np.array([[0, 0], [4, 0], [0, 4]], dtype=float)
+    sq = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], dtype=float)
+    want = geom.ring_area(geom.clip_polygon_convex(tri, sq))
+    assert geom.intersection_area(tri, sq) == pytest.approx(want, abs=1e-12)
+    # orientation-insensitive
+    assert geom.intersection_area(tri[::-1], sq[::-1]) == pytest.approx(want, abs=1e-12)
+
+
+def test_intersection_area_nonconvex_disconnected():
+    # rect y∈[2,3] slices off the two prong tops: area 1+1
+    rect = np.array([[-1, 2], [4, 2], [4, 3], [-1, 3]], dtype=float)
+    assert geom.intersection_area(U_RING, rect) == pytest.approx(2.0, abs=1e-9)
+    # nonconvex x nonconvex: U ∩ shifted U
+    u2 = U_RING + np.array([0.5, 0.0])
+    a = geom.intersection_area(U_RING, u2)
+    # overlap: base strip x∈[0.5,3],y∈[0,1] area 2.5; prong overlaps x∈[2.5,3]
+    # (U prong2 x∈[2,3] vs u2 prong2 x∈[2.5,3.5]) y∈[1,3] → 1.0; and u2 prong1
+    # x∈[0.5,1.5] vs U prong1 x∈[0,1] → x∈[0.5,1] y∈[1,3] → 1.0
+    assert a == pytest.approx(2.5 + 1.0 + 1.0, abs=1e-9)
+
+
+def test_polygon_intersection_disconnected_rings():
+    rect = np.array([[-1, 2], [4, 2], [4, 3], [-1, 3]], dtype=float)
+    rings = geom.polygon_intersection(U_RING, rect)
+    assert len(rings) == 2
+    areas = sorted(geom.ring_area(r) for r in rings)
+    assert areas == pytest.approx([1.0, 1.0], abs=1e-9)
+    xs = sorted(float(r[:, 0].mean()) for r in rings)
+    assert xs == pytest.approx([0.5, 2.5], abs=1e-9)
+
+
+def test_polygon_intersection_l_shape_single_ring():
+    cell = np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5]], dtype=float)
+    rings = geom.polygon_intersection(L_RING, cell)
+    assert len(rings) == 1
+    want = geom.intersection_area(L_RING, cell)
+    assert geom.ring_area(rings[0]) == pytest.approx(want, abs=1e-9)
+    # bottom strip [0.5,2.5]x[0.5,1] = 1.0 plus left arm [0.5,1]x[1,2.5] = 0.75
+    assert want == pytest.approx(1.75, abs=1e-9)
+
+
+def test_polygon_intersection_containment_cases():
+    cell = np.array([[-1, -1], [4, -1], [4, 4], [-1, 4]], dtype=float)
+    rings = geom.polygon_intersection(U_RING, cell)  # subject inside clipper
+    assert len(rings) == 1 and geom.ring_area(rings[0]) == pytest.approx(geom.ring_area(U_RING))
+    tiny = np.array([[0.2, 0.2], [0.6, 0.2], [0.6, 0.6], [0.2, 0.6]], dtype=float)
+    rings = geom.polygon_intersection(U_RING, tiny)  # clipper inside subject
+    assert len(rings) == 1 and geom.ring_area(rings[0]) == pytest.approx(0.16)
+    far = np.array([[10, 10], [11, 10], [11, 11], [10, 11]], dtype=float)
+    assert geom.polygon_intersection(U_RING, far) == []
+    # clipper inside the U's NOTCH (outside the subject)
+    notch = np.array([[1.2, 1.5], [1.8, 1.5], [1.8, 2.5], [1.2, 2.5]], dtype=float)
+    assert geom.polygon_intersection(U_RING, notch) == []
+
+
+def test_polygon_intersection_area_agrees_with_fan_randomized():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        # random convex clipper (hull of random points) x the U subject
+        pts = rng.uniform(-0.5, 3.5, size=(8, 2))
+        cell = geom.convex_hull(pts)
+        if len(cell) < 3:
+            continue
+        rings = geom.polygon_intersection(U_RING, cell)
+        got = sum(geom.ring_area(r) for r in rings)
+        want = geom.intersection_area(U_RING, cell)
+        assert got == pytest.approx(want, abs=1e-8)
+
+
+def test_is_axis_rect_and_convex():
+    assert geom.is_axis_rect(np.array([[0, 0], [2, 0], [2, 1], [0, 1]], float))
+    assert geom.is_axis_rect(np.array([[0, 0], [0, 1], [2, 1], [2, 0]], float))  # CW
+    assert not geom.is_axis_rect(np.array([[0, 0], [2, 0], [2.1, 1], [0, 1]], float))
+    assert not geom.is_axis_rect(U_RING)
+    assert geom.is_convex_ring(np.array([[0, 0], [2, 0], [2, 1], [0, 1]], float))
+    assert not geom.is_convex_ring(U_RING)
+    assert not geom.is_convex_ring(L_RING)
