@@ -67,13 +67,17 @@ def s0_from_block(block_ring: np.ndarray, centroids: list[tuple[float, float]]) 
         cell = halfplane_voronoi_cell(i, pts, frame)
         if len(cell) <= 2:
             continue  # len(vs) > 2 filter
-        # clip to block: cell is convex → Sutherland–Hodgman with the cell
-        # as clipper, block as subject == cell ∩ block
-        clipped = geom.clip_polygon_convex(block_ring, cell)
-        if len(clipped) >= 3 and geom.ring_area(clipped) > 0:
-            # snap so adjacent cells' independently-computed shared vertices
-            # coincide exactly and the mesh graph is connected
-            rings.append(geom.snap_ring(clipped))
+        # clip to block: geometry-true multi-ring clip — a NON-CONVEX
+        # block ∩ a convex cell can be disconnected, and plain
+        # Sutherland–Hodgman would emit one ring with degenerate bridge
+        # edges that become phantom edges in the mesh graph (convex
+        # blocks take the SH fast path inside). shapely .intersection
+        # semantics, prclz/complexity.py:28.
+        for clipped in geom.polygon_intersection(block_ring, cell):
+            if len(clipped) >= 3 and geom.ring_area(clipped) > 0:
+                # snap so adjacent cells' independently-computed shared
+                # vertices coincide exactly and the mesh graph connects
+                rings.append(geom.snap_ring(clipped))
     return PlanarGraph.from_polygons(rings)
 
 

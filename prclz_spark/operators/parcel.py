@@ -60,9 +60,30 @@ def block_parcels(
         cell = halfplane_voronoi_cell(i, pts, frame)
         if len(cell) < 3:
             continue
-        clipped = geom.clip_polygon_convex(block_ring, cell)
-        if len(clipped) >= 3 and geom.ring_area(clipped) > 0:
-            out.append((point_ids[i], clipped))
+        # geometry-true multi-ring clip (non-convex block ∩ cell can be
+        # disconnected; see complexity.s0_from_block). The piece holding
+        # the generating point keeps the point id — terminals pair with
+        # their parcel by id in reblock — and detached pieces get a
+        # "#k" suffix so their edges still enter the parcel mesh.
+        pieces = [
+            p for p in geom.polygon_intersection(block_ring, cell)
+            if len(p) >= 3 and geom.ring_area(p) > 0
+        ]
+        if not pieces:
+            continue
+        if len(pieces) == 1:
+            out.append((point_ids[i], pieces[0]))
+            continue
+        own = [
+            j for j, p in enumerate(pieces)
+            if geom.point_in_polygon(pts[i, 0], pts[i, 1], p)
+        ]
+        main = own[0] if own else int(np.argmax([geom.ring_area(p) for p in pieces]))
+        out.append((point_ids[i], pieces[main]))
+        out.extend(
+            (f"{point_ids[i]}#{j}", p)
+            for j, p in enumerate(pieces) if j != main
+        )
     return out
 
 
@@ -203,6 +224,9 @@ def block_parcels_footprint(
         cell = halfplane_voronoi_cell(i, pts, frame)
         if len(cell) < 3:
             continue
+        # area-only path: SH with a convex clipper is exact for any simple
+        # subject — disconnected-overlap bridge edges are traversed once in
+        # each direction and cancel in the shoelace sum
         clipped = geom.clip_polygon_convex(block_ring, cell)
         if len(clipped) >= 3:
             a = geom.ring_area(clipped)
