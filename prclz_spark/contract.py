@@ -599,6 +599,82 @@ def _sql_spatial_largest_overlap(sf_dir):
     """
 
 
+def _typed_grid_lines() -> pd.DataFrame:
+    """Deterministic typed line dimension for the boundary classifier:
+    horizontal road/water lines on EVEN grid rows (waterway when the row
+    index ≡ 0 mod 4, natural otherwise) with LOW seg_ids, then vertical
+    highways on every column. Corner vertices sit on both families at
+    distance 0 — the min(struct(dist, seg_id)) tie-break resolves to the
+    horizontal (lower id), making every classification closed-form."""
+    rows = []
+    sid = 0
+    for j in range(GRID_G + 1):
+        if j % 2 == 0:
+            rows.append({
+                "seg_id": sid,
+                "ax": synth.AOI_LON0, "ay": synth.AOI_LAT0 + j * STEP,
+                "bx": synth.AOI_LON0 + synth.AOI_SPAN,
+                "by": synth.AOI_LAT0 + j * STEP,
+                "feature_type": "waterway" if j % 4 == 0 else "natural",
+            })
+            sid += 1
+    for i in range(GRID_G + 1):
+        rows.append({
+            "seg_id": sid,
+            "ax": synth.AOI_LON0 + i * STEP, "ay": synth.AOI_LAT0,
+            "bx": synth.AOI_LON0 + i * STEP,
+            "by": synth.AOI_LAT0 + synth.AOI_SPAN,
+            "feature_type": "highway",
+        })
+        sid += 1
+    return pd.DataFrame(rows)
+
+
+def _q_spatial_boundary_types(spark, sf_dir):
+    """J13→F25 producer (VERDICT r2 missing #1): classify every block
+    boundary segment by its nearest typed line
+    (i_topology_utils.py:281-329) — the frame reblock stage 4 consumes.
+    Exploded to (block_id, vi, seg_type) rows for hashable compare.
+
+    Closed-form oracle: every block vertex lies exactly ON a vertical
+    highway; vertices on even rows also lie on that row's horizontal
+    line, which wins the distance tie by lower seg_id. The combine rule
+    (different endpoint types + one is highway → highway) then types
+    bottom/top segments on even rows by the row line and everything else
+    highway."""
+    from .operators import rangejoin
+
+    blocks = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    typed = rangejoin.boundary_types_for_blocks(
+        blocks, _typed_grid_lines(), res=8, threshold=STEP / 4.0
+    )
+    return typed.select(
+        "block_id", F.posexplode("boundary_types").alias("vi", "seg_type")
+    ).withColumn("vi", F.col("vi").cast("bigint"))
+
+
+def _sql_spatial_boundary_types(sf_dir):
+    # ring vertex order (synth.grid_blocks): v0 bottom-left → bottom edge
+    # is vi=0 (row gy), top edge vi=2 (row gy+1), sides vi∈{1,3}
+    row_type = (
+        "case when {j} % 2 = 1 then 'highway' "
+        "when {j} % 4 = 0 then 'waterway' else 'natural' end"
+    )
+    return f"""
+        with b as (
+          select gy.g as gy, gx.g as gx
+          from (select unnest(generate_series(0, {GRID_G - 1})) as g) gy,
+               (select unnest(generate_series(0, {GRID_G - 1})) as g) gx
+        )
+        select concat('city_', cast(gy * {GRID_G} + gx as varchar)) as block_id,
+               v.vi as vi,
+               case when v.vi = 0 then {row_type.format(j='gy')}
+                    when v.vi = 2 then {row_type.format(j='(gy + 1)')}
+                    else 'highway' end as seg_type
+        from b, (select unnest(generate_series(0, 3)) as vi) v
+    """
+
+
 def _q_fn_geodesy(spark, sf_dir):
     """F17 haversine + F19 mercator reprojection as JVM column functions."""
     pts = _img_points(spark, sf_dir)
@@ -1395,6 +1471,7 @@ REGISTRY: dict[str, tuple] = {
     "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
     "spatial_road_dist_metrics": (_q_spatial_road_dist_metrics, _sql_spatial_road_dist_metrics),
     "spatial_largest_overlap": (_q_spatial_largest_overlap, _sql_spatial_largest_overlap),
+    "spatial_boundary_types": (_q_spatial_boundary_types, _sql_spatial_boundary_types),
     "fn_geodesy": (_q_fn_geodesy, _sql_fn_geodesy),
     "src_wkt_scan": (_q_src_wkt_scan, _sql_src_wkt_scan),
     # relational surface (P/J/A/W/U operator families)

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from ..functions import cells
 
-__all__ = ["segment_cover_pdf", "nearest_segment_join", "classify_by_distance"]
+__all__ = [
+    "segment_cover_pdf", "nearest_segment_join", "classify_by_distance",
+    "boundary_types_for_blocks",
+]
 
 
 def segment_cover_pdf(segments_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
@@ -128,3 +131,117 @@ def classify_by_distance(
             F.lit(far_label)
         ),
     )
+
+
+def boundary_types_for_blocks(
+    blocks: DataFrame,
+    lines_pdf: pd.DataFrame,
+    res: int,
+    threshold: float = 1.0,
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Derive the per-boundary-segment feature types that
+    ``operators.reblock`` consumes — the producer the reference builds
+    from OSM lines (/root/reference/reblock/i_topology_utils.py:281-329):
+
+    per block-boundary VERTEX, the feature type of the nearest line
+    segment, falling back to ``'gadm_boundary'`` when that distance
+    exceeds ``threshold`` (reference THRESHOLD_METERS=1 compared against
+    a coordinate-space distance — replicated literally, the threshold is
+    in the table's coordinate units); per boundary SEGMENT (vertex i →
+    i+1), the endpoint types combine as: equal → that type; different →
+    'highway' if either endpoint is highway else 'natural'
+    (get_feature_type_from_lines, :310-329).
+
+    ``lines_pdf``: dimension-sized pandas (seg_id, ax, ay, bx, by,
+    feature_type). Returns ``blocks`` with a ``boundary_types``
+    array<string> column, one entry per boundary segment of the OPEN
+    ring, aligned with the ring's vertex order (what
+    reblock._relabel_boundary_edges expects).
+
+    Distributed shape: ring vertices explode JVM-side; candidates come
+    from the dilated segment cover × kRing(1) equi-join (broadcast dim);
+    the nearest pick is ``min(struct(round(dist, 9), seg_id))`` so
+    distance ties — every shared corner vertex lies ON two grid lines —
+    break deterministically toward the lowest seg_id on both the engine
+    and any SQL oracle. The distance is rounded to the geometry snap
+    grid (geom.SNAP = 1e-9) first: a vertex coordinate reached through a
+    different float path (y0 + step vs LAT0 + 2*step) sits ~1 ulp off
+    the line and would otherwise lose a d=0 tie it geometrically owns."""
+    spark = blocks.sparkSession
+    cover = segment_cover_pdf(lines_pdf, res)
+    cov = F.broadcast(spark.createDataFrame(cover))
+    segs = F.broadcast(
+        spark.createDataFrame(
+            cover.drop_duplicates("seg_id")[["seg_id", "ax", "ay", "bx", "by"]]
+        )
+    )
+    types = F.broadcast(
+        spark.createDataFrame(lines_pdf[["seg_id", "feature_type"]])
+    )
+    g = F.col(geometry_col)
+    first, last = F.element_at(g, 1), F.element_at(g, -1)
+    closed = (F.size(g) > 1) & (first[0] == last[0]) & (first[1] == last[1])
+    ring = F.when(closed, F.slice(g, 1, F.size(g) - 1)).otherwise(g)
+    verts = (
+        blocks.select("block_id", ring.alias("__ring"))
+        .select(
+            "block_id",
+            F.size("__ring").alias("n"),
+            F.posexplode("__ring").alias("vi", "xy"),
+        )
+        .select(
+            "block_id", "n", "vi",
+            F.col("xy")[0].alias("lon"), F.col("xy")[1].alias("lat"),
+        )
+    )
+    dist = F.round(_seg_dist_cols(), 9)
+    cell_h = 180.0 / (1 << res)
+    cand = verts.withColumn(
+        "cell", cells.cell_id(F.col("lon"), F.col("lat"), res)
+    ).join(cov, on="cell", how="inner")
+    best = cand.groupBy("block_id", "vi").agg(
+        F.min(F.struct(dist.alias("d"), F.col("seg_id"))).alias("__b")
+    ).select("block_id", "vi", F.col("__b.d").alias("d"), F.col("__b.seg_id").alias("seg_id"))
+    sure = best.filter(F.col("d") <= F.lit(cell_h))
+    unresolved = verts.join(
+        sure.select("block_id", "vi"), on=["block_id", "vi"], how="left_anti"
+    )
+    brute = unresolved.crossJoin(segs).groupBy("block_id", "vi").agg(
+        F.min(F.struct(dist.alias("d"), F.col("seg_id"))).alias("__b")
+    ).select("block_id", "vi", F.col("__b.d").alias("d"), F.col("__b.seg_id").alias("seg_id"))
+    vt = (
+        sure.unionByName(brute)
+        .join(types, on="seg_id", how="left")
+        .withColumn(
+            "vtype",
+            F.when(F.col("d") > F.lit(threshold), F.lit("gadm_boundary")).otherwise(
+                F.col("feature_type")
+            ),
+        )
+        .join(verts.select("block_id", "vi", "n"), on=["block_id", "vi"])
+        .select("block_id", "vi", "n", "vtype")
+    )
+    a, b = vt.alias("a"), vt.alias("b")
+    seg_typed = a.join(
+        b,
+        (F.col("a.block_id") == F.col("b.block_id"))
+        & (F.col("b.vi") == F.pmod(F.col("a.vi") + 1, F.col("a.n"))),
+    ).select(
+        F.col("a.block_id").alias("block_id"),
+        F.col("a.vi").alias("vi"),
+        F.when(F.col("a.vtype") == F.col("b.vtype"), F.col("a.vtype"))
+        .when(
+            (F.col("a.vtype") == "highway") | (F.col("b.vtype") == "highway"),
+            F.lit("highway"),
+        )
+        .otherwise(F.lit("natural"))
+        .alias("seg_type"),
+    )
+    btypes = seg_typed.groupBy("block_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vi", "seg_type"))),
+            lambda s: s["seg_type"],
+        ).alias("boundary_types")
+    )
+    return blocks.join(btypes, on="block_id", how="left")

@@ -73,6 +73,24 @@ REBLOCK_SUMMARY_SCHEMA = T.StructType(
 )
 
 
+REBLOCK_TERMINALS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_id", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+)
+
+# long format: one kernel pass feeds all three reference sinks (summary,
+# steiner lines, terminal points — i_reblock.py:152-165) without running
+# the Steiner kernel once per output table
+REBLOCK_ALL_SCHEMA = T.StructType(
+    [T.StructField("kind", T.StringType())]
+    + REBLOCK_EDGES_SCHEMA.fields[:]
+    + REBLOCK_SUMMARY_SCHEMA.fields[1:]
+    + [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+
 MAX_TERMINALS = 400  # straggler budget: the reference bounds per-block work
 # with a time threshold + skip (i_reblock.py:259-273, W4); the metric
 # closure is O(t² · Dijkstra) so a dense hotspot block (thousands of
@@ -175,7 +193,7 @@ def reblock_kernel(
 
     def _skip(n_term: int) -> tuple[list, dict]:
         return [], {
-            "status": 2, "n_terminals": int(n_term),
+            "_terminals": [], "status": 2, "n_terminals": int(n_term),
             "n_nodes_pre": 0, "n_edges_pre": 0,
             "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
             "wall_ms": int((time.time() - t0) * 1000),
@@ -220,7 +238,7 @@ def reblock_kernel(
         # 268-273): a pathological block is skipped with a status row, the
         # stage never stalls on one straggler
         return [], {
-            "status": 3, "n_terminals": 0,
+            "_terminals": [], "status": 3, "n_terminals": 0,
             "n_nodes_pre": n_nodes_pre, "n_edges_pre": n_edges_pre,
             "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
             "wall_ms": int((time.time() - t0) * 1000),
@@ -245,9 +263,14 @@ def reblock_kernel(
     g = g.largest_component_subgraph()
     work = g.simplify_degree2() if simplify else g
     n_terminals = sum(1 for t in work.terminal.values() if t)
+    # snapped terminal points — the reference's third output file
+    # (terminal_df, i_reblock.py:159-165): the post-snap positions on the
+    # parcel mesh, canonically ordered
+    term_pts = sorted((float(nd[0]), float(nd[1]))
+                      for nd, is_t in work.terminal.items() if is_t)
     if n_terminals < 2:
         return [], {
-            "status": 2, "n_terminals": n_terminals,
+            "_terminals": term_pts, "status": 2, "n_terminals": n_terminals,
             "n_nodes_pre": n_nodes_pre, "n_edges_pre": n_edges_pre,
             "n_new_edges": 0, "new_len": 0.0, "existing_len": 0.0,
             "wall_ms": int((time.time() - t0) * 1000),
@@ -268,7 +291,7 @@ def reblock_kernel(
             edges.append(("new", u, v, L))
             new_len += L
     summary = {
-        "status": 0, "n_terminals": n_terminals,
+        "_terminals": term_pts, "status": 0, "n_terminals": n_terminals,
         "n_nodes_pre": n_nodes_pre, "n_edges_pre": n_edges_pre,
         "n_new_edges": sum(1 for e in edges if e[0] == "new"),
         "new_len": new_len, "existing_len": existing_len,
@@ -290,10 +313,15 @@ def reblock(
     """Distributed reblocking. ``parcels``: operators.parcel.parcelize
     output; ``assigned_points``: (block_id, point_id, lon, lat);
     ``blocks``: (block_id, geometry[, boundary_types]). ``emit``: 'edges'
-    (steiner edge rows) or 'summary' (per-block metrics, the reference's
-    timing/size columns). ``boundary_types``, when present on the blocks
-    frame, carries one feature type per boundary ring segment and feeds
-    the reference's typed edge weighting.
+    (steiner edge rows), 'summary' (per-block metrics, the reference's
+    timing/size columns), 'terminals' (snapped terminal points — the
+    reference's third output file, i_reblock.py:159-165), or 'all' (long
+    format with a ``kind`` column carrying every sink from ONE kernel
+    pass — what pipeline stage 4 persists before splitting into the
+    three reference tables). ``boundary_types``, when present on the
+    blocks frame, carries one feature type per boundary ring segment and
+    feeds the reference's typed edge weighting (produce it with
+    rangejoin.boundary_types_for_blocks).
 
     Implementation: parcels already carry block_id AND the owning point id
     (parcel_point_id), so the kernel inputs co-group on block_id — the
@@ -317,11 +345,22 @@ def reblock(
         ["boundary_types"] if has_btypes else []
     )
 
+    schemas = {
+        "edges": REBLOCK_EDGES_SCHEMA,
+        "summary": REBLOCK_SUMMARY_SCHEMA,
+        "terminals": REBLOCK_TERMINALS_SCHEMA,
+        "all": REBLOCK_ALL_SCHEMA,
+    }
+    if emit not in schemas:
+        raise ValueError(emit)
+
     def per_block(rows_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
         ecols = [f.name for f in REBLOCK_EDGES_SCHEMA.fields]
         scols = [f.name for f in REBLOCK_SUMMARY_SCHEMA.fields]
+        acols = [f.name for f in REBLOCK_ALL_SCHEMA.fields]
+        out_cols = [f.name for f in schemas[emit].fields]
         if len(blk_pdf) == 0 or len(rows_pdf) == 0:
-            return pd.DataFrame(columns=ecols if emit == "edges" else scols)
+            return pd.DataFrame(columns=out_cols)
         bid = blk_pdf["block_id"].iloc[0]
         ring = geom.ring_to_np(blk_pdf["geometry"].iloc[0])
         btypes = None
@@ -353,25 +392,37 @@ def reblock(
             summary["status"] = summary.get("status", 0)
         except Exception:
             edges, summary = [], {
-                "status": 1, "n_terminals": 0, "n_nodes_pre": 0,
-                "n_edges_pre": 0, "n_new_edges": 0, "new_len": 0.0,
-                "existing_len": 0.0, "wall_ms": 0,
+                "_terminals": [], "status": 1, "n_terminals": 0,
+                "n_nodes_pre": 0, "n_edges_pre": 0, "n_new_edges": 0,
+                "new_len": 0.0, "existing_len": 0.0, "wall_ms": 0,
             }
+        term_pts = summary.pop("_terminals", [])
         if emit == "summary":
             return pd.DataFrame([{"block_id": bid, **summary}], columns=scols)
-        return pd.DataFrame(
-            [
-                {
-                    "block_id": bid, "edge_type": et,
-                    "ax": a[0], "ay": a[1], "bx": b_[0], "by": b_[1],
-                    "length": L,
-                }
-                for et, a, b_, L in edges
-            ],
-            columns=ecols,
+        if emit == "terminals":
+            return pd.DataFrame(
+                [{"block_id": bid, "x": x, "y": y} for x, y in term_pts],
+                columns=out_cols,
+            )
+        edge_rows = [
+            {
+                "block_id": bid, "edge_type": et,
+                "ax": a[0], "ay": a[1], "bx": b_[0], "by": b_[1],
+                "length": L,
+            }
+            for et, a, b_, L in edges
+        ]
+        if emit == "edges":
+            return pd.DataFrame(edge_rows, columns=ecols)
+        rows = (
+            [{"kind": "summary", "block_id": bid, **summary}]
+            + [{"kind": "edge", **r} for r in edge_rows]
+            + [{"kind": "terminal", "block_id": bid, "x": x, "y": y}
+               for x, y in term_pts]
         )
+        return pd.DataFrame(rows, columns=acols)
 
-    schema = REBLOCK_EDGES_SCHEMA if emit == "edges" else REBLOCK_SUMMARY_SCHEMA
+    schema = schemas[emit]
     # explicit hash partition count: the Steiner kernel is the most
     # CPU-expensive stage in the engine; never let byte-based AQE
     # coalescing underparallelize it (see complexity.k_complexity)

@@ -32,7 +32,10 @@ from .sources.tablestore import TableStore
 ASSIGN_TABLE = "assign"
 COMPLEXITY_TABLE = "complexity"
 PARCELS_TABLE = "parcels"
+REBLOCK_ALL_TABLE = "reblock_all"
 REBLOCK_TABLE = "reblock_summary"
+REBLOCK_EDGES_TABLE = "reblock_edges"
+REBLOCK_TERMINALS_TABLE = "reblock_terminals"
 
 
 def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
@@ -50,6 +53,7 @@ def run_pipeline(
     grid_g: int = 8,
     res: int = 17,
     prefix_res: int = 6,
+    lines_pdf=None,
 ) -> dict:
     """The reference's full stage chain — assign → k-complexity →
     parcelization → reblocking (SURVEY.md §3) — each stage committed
@@ -124,17 +128,47 @@ def run_pipeline(
         return computed
 
     # -- stage 4: Steiner reblocking per block (reference stage 5) ---------
+    # ONE kernel pass emits the long-format 'all' frame; the three
+    # reference sinks — summary, steiner lines, terminal points
+    # (i_reblock.py:159-165) — are cheap filters of the committed table,
+    # each with its own lineage so resume covers all three. Typed
+    # boundaries (lines_pdf) feed the reference's F25 edge weighting.
+    if lines_pdf is not None:
+        from .operators import rangejoin as rangejoin_op
+
+        blocks_sdf = rangejoin_op.boundary_types_for_blocks(
+            blocks_sdf, lines_pdf, res=min(res, 12)
+        )
     per_block_stage(
-        REBLOCK_TABLE,
+        REBLOCK_ALL_TABLE,
         lambda blks, pts_: reblock_op.reblock(
             parcels.join(
                 F.broadcast(blks.select("block_id")), "block_id", "left_semi"
             ),
             pts_,
             blks,
-            emit="summary",
+            emit="all",
         ),
     )
+    allf = store.read(spark, REBLOCK_ALL_TABLE)
+    if allf is None:
+        return computed
+    scols = [f.name for f in reblock_op.REBLOCK_SUMMARY_SCHEMA.fields]
+    ecols = [f.name for f in reblock_op.REBLOCK_EDGES_SCHEMA.fields]
+    tcols = [f.name for f in reblock_op.REBLOCK_TERMINALS_SCHEMA.fields]
+    for tname, kind, cols in (
+        (REBLOCK_TABLE, "summary", scols),
+        (REBLOCK_EDGES_TABLE, "edge", ecols),
+        (REBLOCK_TERMINALS_TABLE, "terminal", tcols),
+    ):
+        done = store.completed_partitions(tname)
+        sub = allf.filter(F.col("kind") == kind).select(*cols)
+        if done:
+            sub = sub.filter(~F.col("block_id").isin(*sorted(done)))
+        n_new = sub.count()
+        computed[tname] = n_new
+        if n_new > 0:
+            store.commit(sub, tname, "block_id", stage=tname)
 
     return computed
 

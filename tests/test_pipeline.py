@@ -75,12 +75,14 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     assert out1["assign"] == 5_000
     assert out1["complexity"] == 16
     assert out1["parcels"] == 16
-    assert out1["reblock_summary"] == 16
+    assert out1["reblock_all"] == 16
+    assert out1["reblock_summary"] == 16  # summary rows derived, 1/block
 
     # resume on a complete store: nothing recomputed in ANY stage
     out2 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
     assert out2 == {
-        "assign": 0, "complexity": 0, "parcels": 0, "reblock_summary": 0
+        "assign": 0, "complexity": 0, "parcels": 0, "reblock_all": 0,
+        "reblock_summary": 0, "reblock_edges": 0, "reblock_terminals": 0,
     }
 
     store = TableStore(root)
@@ -95,6 +97,16 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     reblock_pdf = store.read(spark, "reblock_summary").toPandas()
     assert len(reblock_pdf) == 16
     assert set(reblock_pdf.status) <= {0, 1, 2, 3}
+    # all three reference sinks exist (summary / steiner lines / terminal
+    # points — i_reblock.py:159-165) and cohere with the summary counts
+    edges_pdf = store.read(spark, "reblock_edges").toPandas()
+    term_pdf = store.read(spark, "reblock_terminals").toPandas()
+    ok_blocks = set(reblock_pdf[reblock_pdf.status == 0].block_id)
+    assert set(edges_pdf.block_id) <= set(reblock_pdf.block_id)
+    n_term_by_block = term_pdf.groupby("block_id").size()
+    for bid in ok_blocks:
+        want = int(reblock_pdf.set_index("block_id").loc[bid, "n_terminals"])
+        assert n_term_by_block.get(bid, 0) == want
 
     # simulated kill: drop the complexity table's snapshots entirely and
     # re-run — assign resumes (0 recomputed), complexity re-runs all 16,
@@ -104,8 +116,18 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     shutil.rmtree(os.path.join(root, "complexity"))
     out3 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
     assert out3 == {
-        "assign": 0, "complexity": 16, "parcels": 0, "reblock_summary": 0
+        "assign": 0, "complexity": 16, "parcels": 0, "reblock_all": 0,
+        "reblock_summary": 0, "reblock_edges": 0, "reblock_terminals": 0,
     }
+
+    # kill the TERMINALS sink only: it re-derives from the committed
+    # reblock_all table — the Steiner kernel does NOT re-run
+    n_terms = len(term_pdf)
+    shutil.rmtree(os.path.join(root, "reblock_terminals"))
+    out4 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
+    assert out4["reblock_all"] == 0  # no kernel recompute
+    assert out4["reblock_terminals"] == n_terms
+    assert store.read(spark, "reblock_terminals").count() == n_terms
     # identical results after resume (determinism across re-runs)
     k2 = store.read(spark, "complexity").toPandas()
     m1 = k_pdf.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
