@@ -1184,6 +1184,48 @@ def _sql_dedup_minhash(sf_dir):
     """
 
 
+_MINHASH_CAP = 5  # driver-exercised residual-skew guard (VERDICT r2 #7)
+
+
+def _q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the ``max_bucket_docs`` residual-skew guard live:
+    buckets holding more than _MINHASH_CAP docs (near-exact-duplicate
+    clusters — c docs collide in every band for c² join rows) are dropped
+    from the pair join. The oracle mirrors the guard as a window count
+    filter over the same (band, sig) buckets."""
+    return text.minhash_candidates(
+        _t(spark, sf_dir, "documents"),
+        n_bands=_MINHASH_BANDS,
+        shingle_w=_SHINGLE_W,
+        max_bucket_docs=_MINHASH_CAP,
+    )
+
+
+def _sql_dedup_minhash_capped(sf_dir):
+    w = _SHINGLE_W
+    return f"""
+        with sh as (
+          select distinct doc_id, unnest(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - {w - 1}, 0) + 1),
+                   i -> array_to_string((string_split(text,' '))[i:i+{w - 1}], ' '))) as sh
+          from documents
+        ),
+        sigs as (
+          select doc_id, band, min(md5(concat(cast(band as varchar), '|', sh))) as sig
+          from sh, (select unnest(range(0, {_MINHASH_BANDS})) as band)
+          group by 1, 2
+        ),
+        capped as (
+          select * from sigs
+          qualify count(*) over (partition by band, sig) <= {_MINHASH_CAP}
+        )
+        select x.doc_id as d1, y.doc_id as d2, count(*) as n_bands_shared
+        from capped x join capped y using (band, sig)
+        where x.doc_id < y.doc_id
+        group by 1, 2
+    """
+
+
 # --- embeddings / similarity -----------------------------------------------
 
 def _q_emb_topk(spark, sf_dir):
@@ -1497,6 +1539,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
     "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
     "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),
+    "dedup_minhash_capped": (_q_dedup_minhash_capped, _sql_dedup_minhash_capped),
     # similarity search
     "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
     "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),

@@ -427,22 +427,62 @@ def _codebook(n_centroids: int, d: int) -> np.ndarray:
     )
 
 
-def ivf_centroid(
+def ivf_train(
     embeddings: DataFrame,
     n_centroids: int = 16,
+    sample_size: int = 65_536,
+    n_iter: int = 10,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
-) -> DataFrame:
-    """(id, centroid): IVF coarse quantization — argmax over the codebook
-    of <v, c_j> (inner-product assignment). One GEMM per Arrow batch
+) -> np.ndarray:
+    """Data-dependent IVF codebook: spherical k-means (Lloyd's) fit on a
+    deterministic driver-side sample, returned as a numpy matrix to
+    broadcast into ``ivf_centroid``/``ivf_topk``. The 10^12-row shape:
+    the sample is ``orderBy(id).limit(sample_size)`` — a TakeOrdered
+    (per-partition top-k + driver merge, no global sort shuffle) that is
+    deterministic across parallelism; training itself is
+    O(sample · k · d · iters) on the driver, then the codebook rides a
+    task broadcast exactly like the fixed one.
+
+    Spherical variant (unit-normalized centroids, argmax-dot assignment)
+    because the operator's coarse quantizer assigns by inner product.
+    Empty clusters reseed deterministically to the worst-served sample
+    point. The fixed LCG codebook (``codebook=None`` everywhere) remains
+    the SQL-oracle mode."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(len(xn), size=min(n_centroids, len(xn)), replace=False)]
+    if len(cent) < n_centroids:  # degenerate tiny input: pad by repetition
+        cent = np.vstack([cent] * (n_centroids // len(cent) + 1))[:n_centroids]
+    for _ in range(n_iter):
+        assign_ = np.argmax(xn @ cent.T, axis=1)
+        sims = (xn * cent[assign_]).sum(axis=1)
+        for c in range(n_centroids):
+            members = xn[assign_ == c]
+            if len(members) == 0:
+                cent[c] = xn[int(np.argmin(sims))]  # worst-served point
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            if n > 1e-12:
+                cent[c] = m / n
+    return cent
+
+
+def _centroid_udf(spark, codebook: np.ndarray):
+    """Task-broadcast argmax-dot quantizer: one GEMM per Arrow batch
     (a 1000+-term Column expression would cost more in Catalyst analysis
     than the whole job); np.argmax breaks ties to the lower centroid id,
-    matching the SQL oracle's first-equality scan. Pass ``dim`` to avoid
-    the ``.first()`` driver action used as fallback."""
-    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
-    spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast(_codebook(n_centroids, d))
+    matching the SQL oracle's first-equality scan."""
+    bc = spark.sparkContext.broadcast(np.asarray(codebook, float))
 
     @F.pandas_udf("int")
     def cent(v: pd.Series) -> pd.Series:
@@ -450,6 +490,30 @@ def ivf_centroid(
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         return pd.Series(np.argmax(mat @ cb.T, axis=1).astype(np.int32))
 
+    # the value is fully deterministic; the mark only stops Catalyst from
+    # DUPLICATING the GEMM when it splits out the join-key IsNotNull filter
+    # (observed: two ArrowEvalPython stages over the same scan).
+    return cent.asNondeterministic()
+
+
+def ivf_centroid(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, centroid): IVF coarse quantization — inner-product assignment
+    against a broadcast codebook. Pass ``dim`` to avoid the ``.first()``
+    driver action used as fallback. ``codebook``: a trained matrix from
+    ``ivf_train`` (default: the fixed LCG codebook the SQL oracle
+    replays)."""
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
+    cent = _centroid_udf(
+        embeddings.sparkSession,
+        _codebook(n_centroids, d) if codebook is None else codebook,
+    )
     return embeddings.select(F.col(id_col), cent(F.col(vec_col)).alias("centroid"))
 
 
@@ -490,15 +554,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     dim: int | None = None,
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-approximate top-k: search only vectors whose centroid is among
     the query's ``n_probe`` nearest centroids, then exact GEMM within the
     probed cells. The 10^12-row shape: the centroid equi-join prunes the
     scan to n_probe/n_centroids of the table before any distance math.
-    Pass ``dim`` to avoid the ``.first()`` driver action fallback."""
+    Pass ``dim`` to avoid the ``.first()`` driver action fallback.
+    ``codebook``: trained centroids from ``ivf_train`` (default: the
+    fixed LCG codebook, the SQL-oracle mode)."""
     spark = embeddings.sparkSession
     d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
-    codebook = _codebook(n_centroids, d)
+    codebook = (
+        _codebook(n_centroids, d) if codebook is None
+        else np.asarray(codebook, float)
+    )
     q_pdf = queries.select(query_id_col, vec_col).toPandas()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     scores = q_mat @ codebook.T
@@ -510,9 +580,12 @@ def ivf_topk(
     ]
     probe_df = F.broadcast(spark.createDataFrame(pd.DataFrame(probe_rows)))
 
-    tagged = embeddings.join(
-        ivf_centroid(embeddings, n_centroids, id_col, vec_col, dim=d), on=id_col
-    )
+    # centroid computed INLINE (withColumn), never via a self-join with
+    # ivf_centroid: that plan re-scans the table and broadcasts an O(N)
+    # (id, centroid) map — fatal at 10^12 rows. Inline, the quantizer is
+    # a map-side Arrow stage and only the tiny probe table broadcasts.
+    cent = _centroid_udf(spark, codebook)
+    tagged = embeddings.withColumn("centroid", cent(F.col(vec_col)))
     cand = tagged.join(probe_df, on="centroid")
     q_for_join = queries.select(
         F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__qv")
