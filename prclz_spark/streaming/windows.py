@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hourly_agg(stream: DataFrame, watermark: str) -> DataFrame:
+    """Shared watermarked hourly (window, event_type) rollup."""
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_hourly_rollup(
     spark: SparkSession,
     events_path: str,
@@ -36,21 +58,10 @@ def stream_hourly_rollup(
     watermark is still declared because it is what bounds state in a
     long-running deployment of the same query."""
     schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
     # parquet timestamps arrive as TIMESTAMP_NTZ; event-time watermarks
-    # require TIMESTAMP (the session-zoned type)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(
-            F.window(F.col("ts"), "1 hour").alias("w"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-    )
+    # require TIMESTAMP (the session-zoned type) — cast in _hourly_agg
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = _hourly_agg(stream, watermark)
     name = f"evt_stream_{uuid.uuid4().hex[:12]}"
     q = (
         agg.writeStream.format("memory")
@@ -60,9 +71,51 @@ def stream_hourly_rollup(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
-        F.col("w.start").alias("hour_bucket"),
-        "event_type",
-        "n_events",
-        "sum_value",
+    return spark.table(name)
+
+
+def stream_hourly_rollup_append(
+    spark: SparkSession,
+    events_path: str,
+    store,
+    table: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> list[dict]:
+    """The PRODUCTION shape of the rollup: append mode, so the watermark
+    actually closes windows and DROPS their state (state size = O(open
+    windows), independent of stream length — complete mode rewrites every
+    window every batch and is fixture-drain only), with each emission of
+    closed windows committed as one atomic TableStore snapshot via
+    ``foreachBatch`` (exactly-once: the checkpoint replays an uncommitted
+    batch, and a replayed ``commit`` just supersedes the orphaned files,
+    which no manifest references).
+
+    One ``availableNow`` drain per call; call again after new files land —
+    the checkpoint carries the watermark and window state across drains,
+    so windows only emit once, when the watermark passes their end.
+    Returns the drain's progress dicts (state-store rows, watermark) so
+    callers/tests can assert the state bound."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = _hourly_agg(stream, watermark)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.commit(
+            batch_df.withColumn("hour_key", F.date_format("hour_bucket", "yyyyMMddHH")),
+            table,
+            partition_col="hour_key",
+            stage=f"stream_rollup_batch_{batch_id}",
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
+    q.awaitTermination()
+    return [p for p in q.recentProgress]
