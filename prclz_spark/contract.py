@@ -32,6 +32,7 @@ from .operators import (
     assign,
     blocks,
     complexity,
+    dedup,
     knn,
     multimodal,
     parcel,
@@ -1495,6 +1496,83 @@ def _sql_img_tile_stats(sf_dir):
     """
 
 
+def _q_img_phash_dedup(spark, sf_dir):
+    """Image near-dup pairs by phash Hamming distance (dedup.phash_near_dup):
+    identical hashes collapse to a representative first (the exact-dup
+    skew guard), 4×16-bit band join finds candidates, bit_count verifies.
+    max_hamming=2 < 4 bands ⇒ the band join is pigeonhole-EXACT, so the
+    oracle mirrors full semantics with no recall caveat."""
+    return dedup.phash_near_dup(_images(spark, sf_dir))
+
+
+def _sql_img_phash_dedup(sf_dir):
+    return dedup.phash_near_dup_sql(images_parquet_path(sf_dir))
+
+
+def _q_img_phash_clusters(spark, sf_dir):
+    """Near-dup pairs → alternating-star connected components → every
+    image mapped to its cluster root (min image_id of the component,
+    expanded back through exact-dup groups); is_keep marks the one
+    canonical copy per cluster."""
+    img = _images(spark, sf_dir)
+    pairs = dedup.phash_near_dup(img)
+    reps = img.groupBy("phash").agg(F.min("image_id").alias("rep"))
+    cc = dedup.connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "rep"
+    )
+    return (
+        img.select("image_id", "phash")
+        .join(reps, "phash")
+        .join(cc, "rep", "left")
+        .select(
+            "image_id", F.coalesce("root", F.col("rep")).alias("cluster_root")
+        )
+        .withColumn(
+            "is_keep", (F.col("image_id") == F.col("cluster_root")).cast("int")
+        )
+    )
+
+
+def _sql_img_phash_clusters(sf_dir):
+    p = images_parquet_path(sf_dir)
+    pairs = dedup.phash_near_dup_sql(p)
+    return f"""
+        with recursive {dedup.cc_closure_sql(pairs)},
+        reps as (
+          select phash, min(image_id) as rep from read_parquet('{p}') group by 1
+        )
+        select i.image_id,
+               coalesce(r.root, reps.rep) as cluster_root,
+               cast(case when i.image_id = coalesce(r.root, reps.rep)
+                    then 1 else 0 end as int) as is_keep
+        from read_parquet('{p}') i
+        join reps using (phash)
+        left join roots r on r.u = reps.rep
+    """
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Document corpus dedup end-to-end: exact shingle-Jaccard near-dup
+    pairs → connected components → (doc_id, cluster_root, is_keep) over
+    the WHOLE corpus (singletons keep themselves)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.jaccard_pairs(docs, threshold=0.5, shingle_w=_SHINGLE_W)
+    return dedup.cluster_assign(docs, pairs, "doc_id", "d1", "d2")
+
+
+def _sql_dedup_clusters(sf_dir):
+    pairs = text.jaccard_pairs_sql("documents", threshold=0.5, shingle_w=_SHINGLE_W)
+    return f"""
+        with recursive {dedup.cc_closure_sql(pairs, a="d1", b="d2")}
+        select d.doc_id,
+               coalesce(r.root, d.doc_id) as cluster_root,
+               cast(case when d.doc_id = coalesce(r.root, d.doc_id)
+                    then 1 else 0 end as int) as is_keep
+        from documents d
+        left join roots r on r.u = d.doc_id
+    """
+
+
 # ===========================================================================
 
 REGISTRY: dict[str, tuple] = {
@@ -1540,6 +1618,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
     "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),
     "dedup_minhash_capped": (_q_dedup_minhash_capped, _sql_dedup_minhash_capped),
+    "dedup_clusters": (_q_dedup_clusters, _sql_dedup_clusters),
     # similarity search
     "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
     "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
@@ -1550,6 +1629,8 @@ REGISTRY: dict[str, tuple] = {
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
     "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
+    "img_phash_dedup": (_q_img_phash_dedup, _sql_img_phash_dedup),
+    "img_phash_clusters": (_q_img_phash_clusters, _sql_img_phash_clusters),
 }
 
 

@@ -1,0 +1,225 @@
+"""Corpus-level dedup: near-dup pair graphs → connected components →
+keep-one-per-cluster.
+
+The reference dedups only by exact id (skip-if-done sets,
+/root/reference/reblock/i_reblock.py:103-165); a training-data pipeline
+needs the full chain: candidate pairs (MinHash/Jaccard/phash), a
+component grouping over the pair graph, and a canonical keeper per
+component. The pieces here:
+
+- ``phash_near_dup``: image near-duplicates by perceptual-hash Hamming
+  distance, banded-LSH style — but with a provable twist: splitting the
+  64-bit phash into ``bands`` equal bands finds EVERY pair within
+  Hamming distance ``bands - 1`` (pigeonhole: k differing bits touch at
+  most k bands, so at least one band matches exactly). With the default
+  ``max_hamming=2 < bands=4`` the candidate join is exact, not
+  approximate, so the DuckDB oracle mirrors full semantics.
+- ``connected_components``: the alternating large-star / small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC 2014) in pure DataFrame ops — O(log n) rounds even on
+  path graphs, each round two shuffles (a groupBy-min and an equi-join),
+  no collect_list (per-node state is a single min, so hub nodes cannot
+  blow task memory) and no driver-side graph.
+- ``cluster_assign``: items ∪ pairs → (id, cluster_root, is_keep) with
+  exactly one keeper (the component-minimum id) per cluster.
+
+100-TB design notes: exact-duplicate payloads are the dominant skew at
+web scale (a boilerplate page can repeat 10^8 times); ``phash_near_dup``
+collapses identical hashes to one representative FIRST (a single hash
+aggregation), so band buckets hold distinct hashes only and the
+self-join fan-out is bounded by distinct-hash collisions, not corpus
+multiplicity. Group sizes ride along as ``n_a``/``n_b`` so multiplicity
+is never lost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 2  # < PHASH_BANDS ⇒ banding is exact (pigeonhole)
+
+
+def phash_near_dup(
+    img: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    bands: int = PHASH_BANDS,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming, n_a, n_b): near-duplicate image pairs by
+    phash Hamming distance, between exact-duplicate GROUPS (id_a/id_b are
+    each group's min image_id, n_a/n_b the group sizes; id_a < id_b).
+
+    Plan: one hash aggregation collapses identical phashes; each distinct
+    hash emits ``bands`` (band, 16-bit value) rows via ``stack`` (one
+    Generate, no array explode); an equi-join on (band, value) yields
+    candidates; ``bit_count(xor)`` verifies — all JVM-side codegen."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    g = img.groupBy(phash_col).agg(
+        F.min(id_col).alias("rep"), F.count("*").alias("n")
+    )
+    stack_args = ", ".join(
+        f"{b}, shiftright({phash_col}, {b * width}) & {mask}" for b in range(bands)
+    )
+    banded = g.select(
+        "rep",
+        "n",
+        F.col(phash_col).alias("ph"),
+        F.expr(f"stack({bands}, {stack_args}) as (band, bv)"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bv"])
+        .where(F.col("a.rep") < F.col("b.rep"))
+        .select(
+            F.col("a.rep").alias("id_a"),
+            F.col("b.rep").alias("id_b"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
+    )
+
+
+def phash_near_dup_sql(
+    parquet_path: str,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    bands: int = PHASH_BANDS,
+) -> str:
+    """DuckDB mirror of phash_near_dup (same banding, same verify)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+        with g as (
+          select phash, min(image_id) as rep, count(*) as n
+          from read_parquet('{parquet_path}') group by 1
+        ),
+        bands as (
+          select rep, n, phash, b, (phash >> (b * {width})) & {mask} as bv
+          from g, (select unnest(range(0, {bands})) as b)
+        ),
+        cand as (
+          select distinct a.rep as id_a, b.rep as id_b,
+                 a.phash as pa, b.phash as pb, a.n as n_a, b.n as n_b
+          from bands a join bands b on a.b = b.b and a.bv = b.bv
+                                   and a.rep < b.rep
+        )
+        select id_a, id_b, cast(bit_count(xor(pa, pb)) as int) as hamming,
+               n_a, n_b
+        from cand
+        where bit_count(xor(pa, pb)) <= {max_hamming}
+    """
+
+
+def cc_closure_sql(pairs_sql: str, a: str = "id_a", b: str = "id_b") -> str:
+    """DuckDB oracle for connected components over a pair query: a
+    recursive transitive closure (fine at oracle scale; the engine side
+    is the O(log n)-round star algorithm, NOT this quadratic walk).
+    Returns (u, root) for every node that appears in a pair."""
+    return f"""
+        sym as (
+          select {a} as u, {b} as v from ({pairs_sql})
+          union
+          select {b} as u, {a} as v from ({pairs_sql})
+        ),
+        walk(u, v) as (
+          select u, v from sym
+          union
+          select w.u, s.v from walk w join sym s on w.v = s.u
+        ),
+        roots as (
+          select u, least(u, min(v)) as root from walk group by u
+        )
+    """
+
+
+def connected_components(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_iter: int = 25
+) -> DataFrame:
+    """(node, root) for every non-root node of the pair graph; roots are
+    each component's minimum node id (total order = the column's own
+    ordering, identical in Spark and DuckDB for the fixed-width ids used
+    here).
+
+    Alternating large-star / small-star (Kiveris et al. 2014): both
+    steps are a groupBy-min plus an equi-join — per-node state is ONE
+    value, so a 10^8-degree hub costs a wide join fan-out but never an
+    executor OOM. Edges are localCheckpoint-ed per round to truncate the
+    iterative lineage. Converges when the edge multiset is stable
+    (count + order-independent hash signature), at which point the edge
+    set IS the star mapping."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: every smaller neighbor (and u itself) links to the min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        out1 = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        out2 = mins2.select("u", F.col("m").alias("v"))
+        e = out1.union(out2).distinct().localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: ANSI mode would raise on long overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    return e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+
+
+def cluster_assign(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, cluster_root, is_keep): every item mapped to its near-dup
+    component root (itself if unpaired); is_keep = 1 for exactly the
+    component-minimum item — the dedup 'keep one canonical copy' step."""
+    cc = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    return (
+        items.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("root", F.col(id_col)).alias("cluster_root"),
+        )
+        .withColumn(
+            "is_keep", (F.col(id_col) == F.col("cluster_root")).cast("int")
+        )
+    )

@@ -1,0 +1,102 @@
+"""dedup module tests: alternating-star connected components vs a
+union-find oracle, and phash band-join exactness vs brute force."""
+
+import random
+
+import numpy as np
+import pytest
+
+from prclz_spark.operators import dedup
+
+
+def _uf(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _check_cc(spark, edges, schema):
+    nodes = sorted({x for e in edges for x in e})
+    want = _uf(edges, nodes)
+    e = spark.createDataFrame(edges, schema)
+    got = {r.node: r.root for r in dedup.connected_components(e, "u", "v").collect()}
+    for n in nodes:
+        got.setdefault(n, n)
+    assert got == want
+
+
+def test_cc_matches_union_find_long_ids(spark):
+    """Path (worst case for naive label prop — forces the O(log n)
+    rounds), random blobs, a star, self-loops, and duplicate edges."""
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [(rng.randrange(100, 150), rng.randrange(100, 150)) for _ in range(60)]
+    edges += [(200 + i, 200) for i in range(1, 6)]
+    edges += [(300, 300), (0, 1), (1, 0)]  # self-loop + duplicates
+    _check_cc(spark, edges, "u long, v long")
+
+
+def test_cc_matches_union_find_string_ids(spark):
+    rng = random.Random(11)
+    raw = [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(90)]
+    edges = [(f"doc_{a:05d}", f"doc_{b:05d}") for a, b in raw]
+    _check_cc(spark, edges, "u string, v string")
+
+
+def test_phash_band_join_is_exact_for_small_hamming(spark):
+    """Pigeonhole guarantee: with 4 bands, every pair within Hamming 3
+    shares at least one untouched band — the banded join must equal the
+    brute-force all-pairs result exactly (no approximate recall)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=40, dtype=np.int64)
+    hashes = list(base)
+    # plant near-dups at hamming 1..3 of existing hashes
+    for i in range(20):
+        h = int(base[i % len(base)])
+        for _ in range(1 + i % 3):
+            h ^= 1 << int(rng.integers(0, 64))
+        hashes.append(np.int64(h))
+    rows = [(f"img_{i:04d}", int(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.phash_near_dup(df, max_hamming=3).collect()
+    }
+
+    # brute force over distinct hashes; rep = min (zero-padded) id per hash
+    uh = sorted({int(h) for h in hashes})
+    rep = {h: min(i for i, hh in rows if int(hh) == h) for h in uh}
+    want = set()
+    for x in range(len(uh)):
+        for y in range(x + 1, len(uh)):
+            d = bin((uh[x] ^ uh[y]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                a, b = sorted((rep[uh[x]], rep[uh[y]]))
+                want.add((a, b, d))
+    assert len(want) >= 15  # planted near-dups actually present
+    assert got == want
+
+
+def test_cluster_assign_keeps_one_per_cluster(spark):
+    items = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = dedup.cluster_assign(items, pairs, "doc_id").collect()
+    root = {r.doc_id: r.cluster_root for r in out}
+    keep = {r.doc_id: r.is_keep for r in out}
+    assert root == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+    assert keep == {0: 1, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0, 7: 1, 8: 1, 9: 1}
