@@ -159,6 +159,117 @@ class TableStore:
         os.replace(ltmp, self._latest_path(table))
         return sid
 
+    def commit_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        stage: str | None = None,
+    ) -> int:
+        """Write ``df`` as a Spark-bucketed snapshot: files are hash-clustered
+        on ``bucket_cols`` into ``n_buckets`` (optionally sorted within each
+        bucket), so every later join or aggregation on the bucket key is
+        EXCHANGE-FREE — the one-time shuffle at write amortizes across all
+        downstream reads. This is the 100-TB co-location path: bucket the big
+        fact tables once, and repeated joins/rollups on the key never shuffle
+        again (reference analog: the per-region file partitioning that
+        midway_blocks.py:31 keys all downstream stages on).
+
+        Spark only honors bucketing through the catalog, so the snapshot is
+        registered as an external catalog table whose files live under the
+        store; ``read_bucketed`` re-issues the DDL in a fresh session.
+
+        Unlike ``commit`` (which appends files to the manifest), every
+        bucketed commit is a FULL REWRITE: the bucket layout is a property of
+        the whole file set, so appending would break the per-bucket hash
+        invariant. Latest snapshot wins; older full snapshots stay readable
+        via ``snapshot_id`` (time travel) and lineage accumulates."""
+        prev = self.latest_snapshot_id(table)
+        sid = (prev or 0) + 1
+        datadir = os.path.join(self._tdir(table), f"bucketed_{sid}")
+        os.makedirs(self._snapdir(table), exist_ok=True)
+        catalog_name = f"prclz_store_{table}_{sid}"
+
+        t0 = time.time()
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", datadir)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(catalog_name)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        spark = df.sparkSession
+        rows = spark.table(catalog_name).count()
+        prev_manifest = self.manifest(table, prev) if prev else None
+        all_lineage = list(prev_manifest["lineage"]) if prev_manifest else []
+        all_lineage.append(
+            {
+                "stage": stage or table,
+                "partition_id": f"bucketed_{sid}",
+                "rows_out": rows,
+                "wall_ms": wall_ms,
+                "committed_at": time.time(),
+            }
+        )
+        manifest = {
+            "snapshot_id": sid,
+            "parent": prev,
+            "partition_col": None,
+            "files": [],
+            "lineage": all_lineage,
+            "bucket": {
+                "catalog_name": catalog_name,
+                "path": datadir,
+                "cols": list(bucket_cols),
+                "n": n_buckets,
+                "sort": list(sort_cols) if sort_cols else [],
+                "schema_ddl": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                ),
+            },
+        }
+        mpath = os.path.join(self._snapdir(table), f"{sid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        ltmp = self._latest_path(table) + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(sid))
+        os.replace(ltmp, self._latest_path(table))
+        return sid
+
+    def read_bucketed(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """Read a bucketed snapshot WITH its bucketing metadata intact (a raw
+        ``spark.read.parquet`` of the same files would silently drop the
+        cluster info and re-shuffle on every join). Re-registers the external
+        catalog table from the manifest when the session doesn't have it."""
+        m = self.manifest(table, snapshot_id)
+        if m is None or "bucket" not in m:
+            return None
+        b = m["bucket"]
+        if not spark.catalog.tableExists(b["catalog_name"]):
+            sort_clause = (
+                f" SORTED BY ({', '.join(b['sort'])})" if b["sort"] else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {b['catalog_name']} ({b['schema_ddl']}) "
+                f"USING parquet "
+                f"CLUSTERED BY ({', '.join(b['cols'])}){sort_clause} "
+                f"INTO {b['n']} BUCKETS "
+                f"LOCATION '{b['path']}'"
+            )
+        return spark.table(b["catalog_name"])
+
     # -- read -------------------------------------------------------------
     def read(
         self, spark: SparkSession, table: str, snapshot_id: int | None = None
