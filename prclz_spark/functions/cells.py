@@ -103,9 +103,7 @@ def cell_prefix(cell: Column, res: int, prefix_res: int) -> Column:
     ).cast("long")
 
 
-def kring_cells(lon: Column, lat: Column, res: int, k: int) -> Column:
-    """Array column of the (2k+1)^2 cells within Chebyshev distance k of the
-    point's cell (clamped at the grid edge, distinct). H3 kRing analog."""
+def _kring_array(lon: Column, lat: Column, res: int, k: int) -> Column:
     nx = _nx(res)
     cx, cy = cell_x(lon, res), cell_y(lat, res)
     cells = []
@@ -117,6 +115,33 @@ def kring_cells(lon: Column, lat: Column, res: int, k: int) -> Column:
                 F.lit(res * RES_BITS_SHIFT) + ncx * F.lit(XY_SHIFT) + ncy
             )
     return F.array_distinct(F.array(*cells))
+
+
+def kring_cells(lon: Column, lat: Column, res: int, k: int) -> Column:
+    """Array column of the (2k+1)^2 cells within Chebyshev distance k of the
+    point's cell (clamped at the grid edge, distinct). H3 kRing analog.
+
+    ``lon``/``lat`` are embedded once per neighbor cell — fine for plain
+    parquet columns (stays in whole-stage codegen), pathological for
+    expensive computed expressions: use ``kring_cells_bound``."""
+    return _kring_array(lon, lat, res, k)
+
+
+def kring_cells_bound(lon: Column, lat: Column, res: int, k: int) -> Column:
+    """``kring_cells`` with ``lon``/``lat`` evaluated exactly ONCE per row,
+    for callers whose coordinates are expensive computed expressions (e.g.
+    a shoelace-centroid HOF tree). The plain form embeds the coordinate
+    expression (2k+1)^2 times and the optimizer may inline it at every
+    site — a 9-point ring over a centroid re-evaluated ~18x per row turned
+    a largest-overlap candidate stage from <1 s into ~10 s per pass. A
+    single-element ``transform`` binds the coordinates as a lambda
+    argument, which is an evaluated VALUE (the inverse of the
+    closed-over-expression trap: lambda args are safe, closures are not)."""
+    bound = F.transform(
+        F.array(F.struct(lon.alias("x"), lat.alias("y"))),
+        lambda p: _kring_array(p["x"], p["y"], res, k),
+    )
+    return F.element_at(bound, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -254,8 +254,12 @@ def largest_overlap_assign(
     feats = geomcols.with_ring_centroid(
         features.select(feature_id, F.col(geometry_col).alias("geometry"))
     )
+    # bound form: the centroid columns are big HOF trees the optimizer
+    # inlines into every kring site — the plain form re-evaluates them
+    # ~2*(2k+1)^2 times per row (measured 10 s/20k rows at sf0.1)
     feats_cells = feats.withColumn(
-        "cell", F.explode(cells.kring_cells(F.col("lon"), F.col("lat"), res, 1))
+        "cell",
+        F.explode(cells.kring_cells_bound(F.col("lon"), F.col("lat"), res, 1)),
     )
     # candidate (feature, block) pairs: dedupe on NARROW id columns only —
     # deduping rows that carry nested-array geometries forces a slow
