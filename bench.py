@@ -100,7 +100,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
-    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    # 5 warm runs: interpreted-HOF-heavy queries ramp over the first 2-3
+    # invocations (C2 JIT of the expression-interpreter paths), so a
+    # median-of-3 can straddle the ramp; median-of-5 lands steady-state
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "5"))
 
     spark = get_spark(
         app_name="prclz_spark_bench",
