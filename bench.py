@@ -20,6 +20,7 @@ plus the raster<->vector tile-membership operator on the same points.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -148,6 +149,10 @@ def main() -> None:
         except Exception as exc:  # never fail the whole bench on one query
             qmed[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+        # drop py-side refs so ContextCleaner can free broadcasts and
+        # localCheckpoint blocks — 49 queries x 6 runs otherwise build up
+        # heap pressure that GC-stalls the late CPU-heavy queries
+        gc.collect()
 
     images_per_sec = n_assigned / assign_s if assign_s > 0 else 0.0
     # the printed line must fit the driver's 2000-char tail capture

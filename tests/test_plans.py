@@ -195,3 +195,20 @@ def test_jaccard_plan_df_guard(spark):
     assert "windowspecdefinition(sh" in p
     # both self-join inputs are filtered on the df cap before joining
     assert p.count("(dfc") >= 2
+
+
+def test_largest_overlap_plan_shape(spark):
+    """The J5 largest-overlap join: exactly ONE Generate (the kRing
+    explode — a centroid-expression fan-out would not change the count
+    but the bound form keeps the tree evaluated once; see
+    cells.kring_cells_bound), exactly ONE ArrowEvalPython (the non-rect
+    clip fallback — rect x rect pairs score in codegen), and the cell
+    candidate join rides a broadcast, never an Exchange on cell."""
+    df = contract.queries()["spatial_largest_overlap"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = _plan(df)
+    assert p.count("ArrowEvalPython") == 1
+    assert p.count("Generate") == 1
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning(cell" not in p
