@@ -1580,6 +1580,61 @@ def _sql_dedup_clusters(sf_dir):
     """
 
 
+def _q_img_incremental_dedup(spark, sf_dir):
+    """Daily-ingest dedup against a committed keeper corpus: even-id
+    images play the corpus, odd-id images the incoming batch. Each batch
+    item maps to a corpus keeper (is_keep 0 — duplicate of existing
+    data) or to its new-component minimum id (kept exactly once). The
+    corpus never self-joins and never shuffles (batch bands broadcast):
+    see operators/dedup.py::incremental_phash_dedup."""
+    img = _images(spark, sf_dir)
+    idnum = synth.image_id_num(F.col("image_id"))
+    corpus = img.where(idnum % 2 == 0).select("image_id", "phash")
+    batch = img.where(idnum % 2 == 1).select("image_id", "phash")
+    return dedup.incremental_phash_dedup(batch, corpus)
+
+
+def _sql_img_incremental_dedup(sf_dir):
+    p = images_parquet_path(sf_dir)
+    bands = dedup.PHASH_BANDS
+    width = 64 // bands
+    mask = (1 << width) - 1
+    maxh = dedup.PHASH_MAX_HAMMING
+    return f"""
+        with recursive
+        imgs as (select image_id, phash,
+                        cast(substring(image_id, 5, 9) as bigint) as idnum
+                 from read_parquet('{p}')),
+        corpus as (select concat('0|', image_id) as pid, phash
+                   from imgs where idnum % 2 = 0),
+        batch as (select concat('1|', image_id) as pid, phash
+                  from imgs where idnum % 2 = 1),
+        gb as (select phash, min(pid) as rep from batch group by 1),
+        gc as (select phash, min(pid) as rep from corpus group by 1),
+        bb as (select rep, phash, b, (phash >> (b * {width})) & {mask} as bv
+               from gb, (select unnest(range(0, {bands})) as b)),
+        cb as (select rep, phash, b, (phash >> (b * {width})) & {mask} as bv
+               from gc, (select unnest(range(0, {bands})) as b)),
+        cand as (
+          select distinct a.rep as id_a, b.rep as id_b,
+                 a.phash as pa, b.phash as pb
+          from cb a join bb b on a.b = b.b and a.bv = b.bv
+          union
+          select distinct a.rep, b.rep, a.phash, b.phash
+          from bb a join bb b on a.b = b.b and a.bv = b.bv and a.rep < b.rep
+        ),
+        vcand as (select id_a, id_b from cand
+                  where bit_count(xor(pa, pb)) <= {maxh}),
+        {dedup.cc_closure_sql("select id_a, id_b from vcand")}
+        select substring(b.pid, 3) as image_id,
+               substring(coalesce(r.root, g.rep), 3) as cluster_root,
+               cast(case when coalesce(r.root, g.rep) = b.pid
+                    then 1 else 0 end as int) as is_keep
+        from batch b join gb g using (phash)
+        left join roots r on r.u = g.rep
+    """
+
+
 # ===========================================================================
 
 REGISTRY: dict[str, tuple] = {
@@ -1638,6 +1693,10 @@ REGISTRY: dict[str, tuple] = {
     "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
     "img_phash_dedup": (_q_img_phash_dedup, _sql_img_phash_dedup),
     "img_phash_clusters": (_q_img_phash_clusters, _sql_img_phash_clusters),
+    "img_incremental_dedup": (
+        _q_img_incremental_dedup,
+        _sql_img_incremental_dedup,
+    ),
 }
 
 

@@ -122,6 +122,99 @@ def phash_near_dup_sql(
     """
 
 
+def _banded_groups(
+    df: DataFrame, phash_col: str, id_col: str, bands: int
+) -> DataFrame:
+    """Distinct-hash groups (rep = min id per identical phash) exploded to
+    ``bands`` (band, value) rows via one ``stack`` Generate."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    g = df.groupBy(phash_col).agg(F.min(id_col).alias("rep"))
+    stack_args = ", ".join(
+        f"{b}, shiftright({phash_col}, {b * width}) & {mask}" for b in range(bands)
+    )
+    return g.select(
+        "rep",
+        F.col(phash_col).alias("ph"),
+        F.expr(f"stack({bands}, {stack_args}) as (band, bv)"),
+    )
+
+
+def incremental_phash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    bands: int = PHASH_BANDS,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Daily-ingest dedup: map each BATCH item against an already-deduped
+    keeper ``corpus`` without ever re-clustering the corpus. Returns
+    (id, cluster_root, is_keep) for batch items only: cluster_root is a
+    corpus id when the item's near-dup component touches the corpus
+    (the item is a duplicate of existing data → is_keep 0), else the
+    component-minimum batch id (kept once per new component).
+
+    The incremental cost property, which is the whole point at 10^12
+    corpus rows: the corpus NEVER self-joins and NEVER shuffles — its
+    band table is scanned once and map-side-joined against the
+    BROADCAST batch bands, so a day's ingest costs
+    O(|corpus| scan + |batch|-bounded join), not O(|corpus|^2).
+    Corpus-corpus candidate pairs are excluded by construction (the
+    corpus is assumed already deduped at this threshold); a batch item
+    bridging two corpus keepers maps to the smaller corpus id.
+
+    Priority encoding: ids ride as '0|id' (corpus) / '1|id' (batch), so
+    every min/root computation in the star algorithm prefers corpus
+    nodes lexicographically — no special-casing inside the CC kernel."""
+    b = batch.select(
+        F.concat(F.lit("1|"), F.col(id_col)).alias("pid"), F.col(phash_col)
+    )
+    c = corpus.select(
+        F.concat(F.lit("0|"), F.col(id_col)).alias("pid"), F.col(phash_col)
+    )
+    bb = _banded_groups(b, phash_col, "pid", bands)
+    cb = _banded_groups(c, phash_col, "pid", bands)
+
+    def _verify(cand):
+        return (
+            cand.select(
+                F.col("a.rep").alias("id_a"),
+                F.col("b.rep").alias("id_b"),
+                F.col("a.ph").alias("pa"),
+                F.col("b.ph").alias("pb"),
+            )
+            .distinct()  # a pair can collide in several bands
+            .where(
+                F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                <= F.lit(max_hamming)
+            )
+            .select("id_a", "id_b")
+        )
+
+    cand_bc = cb.alias("a").join(F.broadcast(bb).alias("b"), ["band", "bv"])
+    cand_bb = (
+        bb.alias("a")
+        .join(bb.alias("b"), ["band", "bv"])
+        .where(F.col("a.rep") < F.col("b.rep"))
+    )
+    pairs = _verify(cand_bc).unionByName(_verify(cand_bb))
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "rep"
+    )
+    breps = b.groupBy(phash_col).agg(F.min("pid").alias("rep"))
+    root = F.coalesce("root", F.col("rep"))
+    return (
+        b.join(breps, phash_col)
+        .join(cc, "rep", "left")
+        .select(
+            F.expr("substring(pid, 3)").alias(id_col),
+            F.substring(root, 3, 64).alias("cluster_root"),
+            (root == F.col("pid")).cast("int").alias("is_keep"),
+        )
+    )
+
+
 def cc_closure_sql(pairs_sql: str, a: str = "id_a", b: str = "id_b") -> str:
     """DuckDB oracle for connected components over a pair query: a
     recursive transitive closure (fine at oracle scale; the engine side

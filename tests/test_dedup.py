@@ -100,3 +100,68 @@ def test_cluster_assign_keeps_one_per_cluster(spark):
     keep = {r.doc_id: r.is_keep for r in out}
     assert root == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
     assert keep == {0: 1, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0, 7: 1, 8: 1, 9: 1}
+
+
+def test_incremental_phash_dedup_semantics(spark):
+    """Hand-built ingest: corpus hit (exact + near), batch-internal
+    cluster, exact-dup batch group, bridge across two corpus keepers,
+    and a clean singleton."""
+    corpus = spark.createDataFrame(
+        [("c1", 0x0F0F), ("c2", 0xF0F0_0000_0000_0000 - 2**63)],
+        "image_id string, phash long",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("b1", 0x0F0F),        # exact dup of corpus c1 -> drop
+            ("b2", 0x0F0E),        # hamming 1 from c1 -> drop
+            ("b3", 0x1111_0000),   # near-dups with b4 -> keep (min)
+            ("b4", 0x1111_0001),   # -> drop, root b3
+            ("b5", 0x1111_0000),   # exact dup of b3 -> drop, root b3
+            ("b6", 0x7777_7777),   # singleton -> keep
+        ],
+        "image_id string, phash long",
+    )
+    out = {
+        r.image_id: (r.cluster_root, r.is_keep)
+        for r in dedup.incremental_phash_dedup(batch, corpus).collect()
+    }
+    assert out == {
+        "b1": ("c1", 0),
+        "b2": ("c1", 0),
+        "b3": ("b3", 1),
+        "b4": ("b3", 0),
+        "b5": ("b3", 0),
+        "b6": ("b6", 1),
+    }
+
+
+def test_incremental_phash_dedup_corpus_never_shuffles(spark):
+    """The 10^12-corpus property: the corpus side of the candidate join
+    must be map-side (batch bands broadcast) — no Exchange repartitions
+    the corpus band stream, and the corpus never self-joins."""
+    corpus = spark.range(0, 5000).selectExpr(
+        "concat('c', id) as image_id", "id * 37 as phash"
+    )
+    batch = spark.range(0, 50).selectExpr(
+        "concat('b', id) as image_id", "id * 37 as phash"
+    )
+    pairs_plan = (
+        dedup.incremental_phash_dedup(batch, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in pairs_plan
+    # bridge across two corpus keepers resolves to the smaller corpus id
+    c2 = spark.createDataFrame(
+        [("ca", 0x00FF), ("cb", 0x03FF)], "image_id string, phash long"
+    )
+    b2 = spark.createDataFrame(
+        [("bx", 0x01FF)],  # 1 bit from ca AND 1 bit from cb: a true bridge
+        "image_id string, phash long",
+    )
+    out = {
+        r.image_id: (r.cluster_root, r.is_keep)
+        for r in dedup.incremental_phash_dedup(b2, c2).collect()
+    }
+    assert out == {"bx": ("ca", 0)}
