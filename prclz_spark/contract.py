@@ -1397,6 +1397,61 @@ def _sql_emb_ivf_topk(sf_dir):
     """
 
 
+def _q_emb_ivf_recall(spark, sf_dir):
+    """ANN quality instrumentation: recall@5 of the IVF index against the
+    exact brute-force top-5, per query vector — the measured-recall gate
+    a production ANN rollout needs (approximate indexes without a recall
+    eval are unfalsifiable). Both rankings are the engine's own
+    operators; the oracle composes their two already-verified SQL
+    mirrors, so a recall disagreement isolates to the join/count."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ivf = similarity.ivf_topk(
+        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, dim=_EMB_DIM
+    )
+    brute = similarity.cosine_topk(e, q, k=5)
+    hits = (
+        brute.select("q_id", "neighbor_id")
+        .join(
+            ivf.select("q_id", "neighbor_id"),
+            ["q_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            n_hits.alias("n_hits"),
+            F.round(n_hits / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+    )
+
+
+def _sql_emb_ivf_recall(sf_dir):
+    return f"""
+        with ivf as ({_sql_emb_ivf_topk(sf_dir)}),
+        brute as ({_sql_emb_topk(sf_dir)}),
+        hits as (
+          select b.q_id, cast(count(*) as bigint) as n_hits
+          from brute b join ivf i
+            on b.q_id = i.q_id and b.neighbor_id = i.neighbor_id
+          group by 1
+        ),
+        qs as (select vec_id as q_id from embeddings where vec_id < 10)
+        select q.q_id,
+               cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+               round(cast(coalesce(h.n_hits, 0) as bigint) / 5.0, 6) as recall_at_5
+        from qs q left join hits h using (q_id)
+    """
+
+
 def _q_emb_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucket(e, n_planes=_LSH_PLANES, dim=_EMB_DIM)
@@ -1687,6 +1742,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_near_dup_lsh": (_q_emb_near_dup_lsh, _sql_emb_near_dup_lsh),
     "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
     "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
+    "emb_ivf_recall": (_q_emb_ivf_recall, _sql_emb_ivf_recall),
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
