@@ -85,20 +85,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(ensure_images(sf_dir))
+    img = spark.read.parquet(ensure_images(sf_dir))
+    # the sf<=0.1 fixture is ONE parquet file -> one input partition, which
+    # serializes every pre-shuffle map stage (including the pandas-UDF
+    # decode in payload_fidelity) onto a single core; spread it (~15 MB at
+    # sf0.1, ~free). A production table has many files -> no-op.
+    par = spark.sparkContext.defaultParallelism
+    if img.rdd.getNumPartitions() < par:
+        img = img.repartition(par)
+    return img
 
 
 def _img_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = _images(spark, sf_dir).select(
         "image_id", synth.image_id_num(F.col("image_id")).alias("idnum")
     )
-    # the sf<=0.1 fixture is ONE parquet file -> one input partition, which
-    # serializes every pre-shuffle map stage onto a single core; spread it
-    # (narrow rows, ~free). A production table has many files and AQE keeps
-    # this a no-op-sized shuffle.
-    par = spark.sparkContext.defaultParallelism
-    if img.rdd.getNumPartitions() < par:
-        img = img.repartition(par)
     lon, lat = synth.lonlat_cols(F.col("idnum"))
     return img.withColumn("lon", lon).withColumn("lat", lat).drop("idnum")
 
