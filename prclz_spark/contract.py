@@ -81,7 +81,15 @@ def ensure_images(sf_dir: str) -> str:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # single-file small-SF fixtures serialize every map stage onto one
+    # core (see _images); spread them. Catalyst still pushes filters and
+    # pruning below the round-robin exchange, and production multi-file
+    # tables skip it entirely.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
