@@ -1567,6 +1567,86 @@ def _sql_img_tile_stats(sf_dir):
     """
 
 
+def _q_img_resize_stats(spark, sf_dir):
+    """Nearest-neighbor resize 16x16 -> 8x8, then exact integer luma sums
+    over the resized pixels (decode_stats). The engine must decode every
+    payload, gather the index grid, re-encode raw, and decode again; the
+    oracle re-derives the sampled pixels in closed form (source pixel
+    (2x, 2y), q6 roundtrip for odd ids) without touching the bytes."""
+    img = _images(spark, sf_dir)
+    return multimodal.decode_stats(multimodal.resize(img, 8, 8))
+
+
+def _sql_img_resize_stats(sf_dir):
+    def dec(c):
+        v = f"((base + {c}) % 256)"
+        return (
+            f"(case when fmt = 'raw' then {v} "
+            f"else ((({v}) // 4) * 4 + (({v}) // 4) // 16) end)"
+        )
+
+    return f"""
+        with imgs as (
+          select image_id, fmt,
+                 cast(substring(image_id, 5, 9) as bigint) % 997 as idm
+          from read_parquet('{images_parquet_path(sf_dir)}')
+        ),
+        px as (
+          -- nearest-neighbor 16->8: output (x, y) samples source (2x, 2y)
+          select image_id, fmt, (x * 2 * 3 + y * 2 * 7 + idm * 13) as base
+          from imgs,
+               (select unnest(range(0, 8)) as x),
+               (select unnest(range(0, 8)) as y)
+        )
+        select image_id, cast(64 as bigint) as n_px,
+               cast(sum(299 * {dec(0)} + 587 * {dec(31)} + 114 * {dec(62)})
+                    as bigint) as luma_sum_1000
+        from px
+        group by image_id
+    """
+
+
+def _q_img_frame_sample(spark, sf_dir):
+    """Stack each image into a 4-frame synthetic video (frame f = decoded
+    pixels + 17f mod 256, stack_frames) and demux every 2nd frame's exact
+    integer luma sum — the one-to-many video mapInPandas path end-to-end.
+    The oracle re-derives each sampled frame's luma from the closed-form
+    pixel pattern; a demux stride or frame-boundary bug cannot agree."""
+    img = _images(spark, sf_dir)
+    vids = multimodal.stack_frames(img, k=4, shift=17)
+    return multimodal.frame_sample(vids, every_n=2).select(
+        "image_id", "frame_idx", "luma_sum_1000"
+    )
+
+
+def _sql_img_frame_sample(sf_dir):
+    def dec(c):
+        v = f"((base + {c}) % 256)"
+        q = f"(({v}) // 4)"
+        d = f"(case when fmt = 'raw' then {v} else ({q} * 4 + {q} // 16) end)"
+        return f"(({d} + 17 * frame_idx) % 256)"
+
+    return f"""
+        with imgs as (
+          select image_id, fmt,
+                 cast(substring(image_id, 5, 9) as bigint) % 997 as idm
+          from read_parquet('{images_parquet_path(sf_dir)}')
+        ),
+        px as (
+          select image_id, fmt, (x * 3 + y * 7 + idm * 13) as base
+          from imgs,
+               (select unnest(range(0, 16)) as x),
+               (select unnest(range(0, 16)) as y)
+        ),
+        fr as (select unnest([0, 2]) as frame_idx)
+        select image_id, frame_idx,
+               cast(sum(299 * {dec(0)} + 587 * {dec(31)} + 114 * {dec(62)})
+                    as bigint) as luma_sum_1000
+        from px, fr
+        group by 1, 2
+    """
+
+
 def _q_img_phash_dedup(spark, sf_dir):
     """Image near-dup pairs by phash Hamming distance (dedup.phash_near_dup):
     identical hashes collapse to a representative first (the exact-dup
@@ -1756,6 +1836,8 @@ REGISTRY: dict[str, tuple] = {
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
     "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
+    "img_resize_stats": (_q_img_resize_stats, _sql_img_resize_stats),
+    "img_frame_sample": (_q_img_frame_sample, _sql_img_frame_sample),
     "img_phash_dedup": (_q_img_phash_dedup, _sql_img_phash_dedup),
     "img_phash_clusters": (_q_img_phash_clusters, _sql_img_phash_clusters),
     "img_incremental_dedup": (

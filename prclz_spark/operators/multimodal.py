@@ -179,28 +179,155 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _decode_group(g: pd.DataFrame, w: int, h: int, fmt: str) -> np.ndarray:
+    """Stacked (n,h,w,3) uint8 decode of one (w,h,fmt) group — ONE
+    frombuffer + one vectorized dequantize for the numpy formats, the
+    per-row external-codec contract otherwise."""
+    if fmt in NUMPY_FORMATS:
+        dec = np.frombuffer(b"".join(g["bytes"]), dtype=np.uint8).reshape(
+            len(g), h, w, 3
+        )
+        if fmt == "q6":
+            dec = (
+                (dec.astype(np.uint16) << 2) | (dec.astype(np.uint16) >> 4)
+            ).astype(np.uint8)
+        return dec
+    return np.stack([_decode_any(b, w, h, fmt) for b in g["bytes"]])
+
+
 def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resample (pure numpy index grid) re-encoded as
     'raw'. The standard image-tower preprocessing step at table scale:
-    one mapInPandas pass, output partitioning inherited from input."""
+    one mapInPandas pass, output partitioning inherited from input; rows
+    are grouped by (w, h, fmt) inside each Arrow batch so the decode and
+    the gather are single stacked numpy ops per group (no per-row Python
+    on the pixel path)."""
+
+    cols = [f.name for f in RESIZE_SCHEMA.fields]
 
     def per_batch(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                px = _decode_any(r.bytes, r.w, r.h, r.fmt)
-                ys = (np.arange(out_h) * r.h // out_h).astype(int)
-                xs = (np.arange(out_w) * r.w // out_w).astype(int)
-                out = px[ys][:, xs]
-                rows.append(
-                    (r.image_id, imagecodec.encode(out, "raw"), out_w, out_h, "raw")
-                )
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out_bytes: list = [None] * len(pdf)
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                pos = pdf.index.get_indexer(g.index.to_numpy())
+                dec = _decode_group(g, w, h, fmt)
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
+                res = dec[:, ys][:, :, xs]  # (n, out_h, out_w, 3)
+                for k, p_i in enumerate(pos):
+                    out_bytes[p_i] = res[k].tobytes()
             yield pd.DataFrame(
-                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "bytes": out_bytes,
+                    "w": out_w,
+                    "h": out_h,
+                    "fmt": "raw",
+                },
+                columns=cols,
             )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         per_batch, RESIZE_SCHEMA
+    )
+
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("luma_sum_1000", T.LongType()),
+    ]
+)
+
+_LUMA_INT = np.array([299, 587, 114], dtype=np.int64)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Exact integer luma statistics per image: decode the payload and sum
+    299·R + 587·G + 114·B over all pixels (bigint — no float summation
+    order, so the value is reproducible bit-for-bit by any engine,
+    including a SQL oracle over the synthetic pixel pattern). One stacked
+    decode + one GEMM per (w, h, fmt) group per Arrow batch."""
+
+    cols = [f.name for f in STATS_SCHEMA.fields]
+
+    def per_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            sums = np.zeros(len(pdf), dtype=np.int64)
+            npx = np.zeros(len(pdf), dtype=np.int64)
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                pos = pdf.index.get_indexer(g.index.to_numpy())
+                dec = _decode_group(g, w, h, fmt).astype(np.int64)
+                sums[pos] = (dec @ _LUMA_INT).sum(axis=(1, 2))
+                npx[pos] = w * h
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "n_px": npx,
+                    "luma_sum_1000": sums,
+                },
+                columns=cols,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        per_batch, STATS_SCHEMA
+    )
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def stack_frames(images: DataFrame, k: int = 4, shift: int = 17) -> DataFrame:
+    """Deterministic video fixture builder: each image becomes a k-frame
+    raw 'video' where frame f = (decoded_pixels + shift*f) mod 256 — a
+    closed form any SQL oracle can re-derive from the synthetic pattern.
+    Stays a real distributed op (stacked decode + one broadcasted add per
+    (w,h,fmt) group), so the frame_sample contract query exercises the
+    same mapInPandas plumbing a real demuxer would feed."""
+
+    cols = [f.name for f in VIDEO_SCHEMA.fields]
+
+    def per_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out_bytes: list = [None] * len(pdf)
+            fshift = (np.arange(k, dtype=np.uint16) * shift)[
+                None, :, None, None, None
+            ]
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                pos = pdf.index.get_indexer(g.index.to_numpy())
+                dec = _decode_group(g, w, h, fmt).astype(np.uint16)
+                vid = ((dec[:, None] + fshift) % 256).astype(np.uint8)
+                for j, p_i in enumerate(pos):
+                    out_bytes[p_i] = vid[j].tobytes()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "bytes": out_bytes,
+                    "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(),
+                },
+                columns=cols,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        per_batch, VIDEO_SCHEMA
     )
 
 
@@ -209,32 +336,66 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("image_id", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("luma_sum_1000", T.LongType()),
     ]
 )
 
 
 def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
     """Video-as-binary frame sampling: a payload of k stacked raw frames
-    (length k*h*w*3) yields every ``every_n``-th frame's mean luma. The
+    (length k*h*w*3) yields every ``every_n``-th frame's luma stats. The
     UDTF-style one-to-many mapInPandas shape used for real video once a
-    demuxer exists (the stub treats 'raw' multiples as the container)."""
+    demuxer exists (the stub treats 'raw' multiples as the container).
+
+    Rows are grouped by (w, h, payload length) inside each Arrow batch —
+    the demux is one frombuffer reshape (n, k, h, w, 3) and the luma a
+    single integer GEMM per group. ``luma_sum_1000`` = Σ 299R+587G+114B
+    (exact bigint); ``mean_luma`` = that / (1000·h·w), rounded to 6."""
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
 
     def per_batch(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                frame_bytes = r.w * r.h * 3
-                k = len(r.bytes) // frame_bytes
-                for f in range(0, k, every_n):
-                    px = np.frombuffer(
-                        r.bytes[f * frame_bytes:(f + 1) * frame_bytes], dtype=np.uint8
-                    ).reshape(r.h, r.w, 3)
-                    luma = float(
-                        (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            nb = pdf["bytes"].map(len)
+            parts = []
+            for (w, h, blen), g in pdf.groupby(
+                [pdf["w"], pdf["h"], nb], sort=False
+            ):
+                frame_bytes = w * h * 3
+                k = blen // frame_bytes
+                if k == 0:
+                    continue
+                dec = np.frombuffer(
+                    b"".join(b[: k * frame_bytes] for b in g["bytes"]),
+                    dtype=np.uint8,
+                ).reshape(len(g), k, h, w, 3)
+                keep = np.arange(0, k, every_n)
+                sums = (
+                    dec[:, keep].astype(np.int64) @ _LUMA_INT
+                ).sum(axis=(2, 3))  # (n, n_kept)
+                ids = np.repeat(g["image_id"].to_numpy(), len(keep))
+                fidx = np.tile(keep, len(g)).astype(np.int32)
+                flat = sums.reshape(-1)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": ids,
+                            "frame_idx": fidx,
+                            "mean_luma": np.round(
+                                flat / (1000.0 * h * w), 6
+                            ),
+                            "luma_sum_1000": flat,
+                        },
+                        columns=cols,
                     )
-                    rows.append((r.image_id, f, round(luma, 6)))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=cols)
             )
 
     return videos.select("image_id", "bytes", "w", "h").mapInPandas(
