@@ -80,28 +80,24 @@ def ensure_images(sf_dir: str) -> str:
     return path
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # single-file small-SF fixtures serialize every map stage onto one
-    # core (see _images); spread them. Catalyst still pushes filters and
-    # pruning below the round-robin exchange, and production multi-file
-    # tables skip it entirely.
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Single-file small-SF fixtures arrive as ONE input partition, which
+    serializes every pre-shuffle map stage (including pandas-UDF decodes)
+    onto a single core; round-robin them out (~15 MB at sf0.1, ~free).
+    Catalyst still pushes filters and pruning below the exchange, and
+    production multi-file tables skip it entirely."""
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     return df
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _spread(spark, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = spark.read.parquet(ensure_images(sf_dir))
-    # the sf<=0.1 fixture is ONE parquet file -> one input partition, which
-    # serializes every pre-shuffle map stage (including the pandas-UDF
-    # decode in payload_fidelity) onto a single core; spread it (~15 MB at
-    # sf0.1, ~free). A production table has many files -> no-op.
-    par = spark.sparkContext.defaultParallelism
-    if img.rdd.getNumPartitions() < par:
-        img = img.repartition(par)
-    return img
+    return _spread(spark, spark.read.parquet(ensure_images(sf_dir)))
 
 
 def _img_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,16 +476,8 @@ def _q_spatial_road_dist(spark, sf_dir):
     nearest grid line (valid for the unjittered road grid)."""
     pts = _img_points(spark, sf_dir)
     roads = synth.road_grid_lines(GRID_G, jitter=0.0)
-    roads = roads[roads.highway.notna()]
-    seg_rows = []
-    for r in roads.itertuples(index=False):
-        g = r.geometry
-        for i in range(len(g) - 1):
-            seg_rows.append(
-                {"seg_id": f"{r.osm_id}_{i}",
-                 "ax": g[i][0], "ay": g[i][1], "bx": g[i + 1][0], "by": g[i + 1][1]}
-            )
-    cover = rangejoin.segment_cover_pdf(pd.DataFrame(seg_rows), SEG_RES)
+    segs = rangejoin.segments_from_lines(roads[roads.highway.notna()])
+    cover = rangejoin.segment_cover_pdf(segs, SEG_RES)
     joined = rangejoin.nearest_segment_join(pts, cover, SEG_RES)
     out = rangejoin.classify_by_distance(joined, ROAD_EPS)
     return out.select(
@@ -519,16 +507,8 @@ def _q_spatial_road_dist_metrics(spark, sf_dir):
     the reference's data-quality gate over a spatial join's misses."""
     pts = _img_points(spark, sf_dir)
     roads = synth.road_grid_lines(GRID_G, jitter=0.0)
-    roads = roads[roads.highway.notna()]
-    seg_rows = []
-    for r in roads.itertuples(index=False):
-        g = r.geometry
-        for i in range(len(g) - 1):
-            seg_rows.append(
-                {"seg_id": f"{r.osm_id}_{i}",
-                 "ax": g[i][0], "ay": g[i][1], "bx": g[i + 1][0], "by": g[i + 1][1]}
-            )
-    cover = rangejoin.segment_cover_pdf(pd.DataFrame(seg_rows), SEG_RES)
+    segs = rangejoin.segments_from_lines(roads[roads.highway.notna()])
+    cover = rangejoin.segment_cover_pdf(segs, SEG_RES)
     joined = rangejoin.nearest_segment_join(pts, cover, SEG_RES)
     out = rangejoin.classify_by_distance(joined, ROAD_EPS)
     off = F.when(F.col("road_class") == "off_road", F.col("road_dist"))

@@ -263,9 +263,7 @@ def largest_overlap_assign(
     )
     # candidate (feature, block) pairs: dedupe on NARROW id columns only —
     # deduping rows that carry nested-array geometries forces a slow
-    # object-based aggregate — then re-attach both geometries. With the
-    # rect fast path the clip stage is no longer CPU-bound, so AQE's
-    # byte-based coalescing is left alone here.
+    # object-based aggregate — then re-attach both geometries.
     cov_ids = cover.select("cell", "block_id")
     if block_geoms is not None:
         blocks_geo = block_geoms.select(
@@ -277,11 +275,19 @@ def largest_overlap_assign(
         ).dropDuplicates(["block_id"])
     if broadcast_cover:
         cov_ids = F.broadcast(cov_ids)
-        blocks_geo = F.broadcast(blocks_geo)
+    # explicit-count exchange on the dedupe keys: the pair frame is
+    # byte-tiny (two ids), so AQE would coalesce its shuffle to a handful
+    # of tasks. Fine for the rect fast path, but the non-convex fallback
+    # downstream is a CPU-heavy Arrow kernel that inherits THIS
+    # partitioning (the geometry joins are broadcasts) and must run wide —
+    # the CLAUDE.md cogroup invariant. Same keys as the dedupe, so the
+    # aggregate reuses the exchange: one shuffle total.
+    n_part = features.sparkSession.sparkContext.defaultParallelism * 2
     pair_ids = (
         feats_cells.select(feature_id, "cell")
         .join(cov_ids, on="cell", how="inner")
         .select(feature_id, "block_id")
+        .repartition(n_part, feature_id, "block_id")
         .dropDuplicates([feature_id, "block_id"])
     )
     # bbox + axis-rect flags, all Column arithmetic: rect×rect pairs (the

@@ -209,7 +209,9 @@ def incremental_phash_dedup(
         .join(cc, "rep", "left")
         .select(
             F.expr("substring(pid, 3)").alias(id_col),
-            F.substring(root, 3, 64).alias("cluster_root"),
+            # unbounded strip of the 2-char priority prefix — a fixed
+            # length cap would truncate (and could collide) long ids
+            root.substr(F.lit(3), F.length(root)).alias("cluster_root"),
             (root == F.col("pid")).cast("int").alias("is_keep"),
         )
     )

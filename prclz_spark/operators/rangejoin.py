@@ -27,9 +27,38 @@ from pyspark.sql import functions as F
 from ..functions import cells
 
 __all__ = [
-    "segment_cover_pdf", "nearest_segment_join", "classify_by_distance",
-    "boundary_types_for_blocks",
+    "segments_from_lines", "segment_cover_pdf", "nearest_segment_join",
+    "classify_by_distance", "boundary_types_for_blocks",
 ]
+
+
+def segments_from_lines(lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    """OSM-style polylines (osm_id, highway, waterway, natural, geometry)
+    → the flat segment dimension (seg_id, ax, ay, bx, by, feature_type)
+    that ``segment_cover_pdf`` / ``boundary_types_for_blocks`` consume.
+
+    feature_type replicates the reference's tag→type assignment order —
+    waterway, then highway, then natural, each overriding the last
+    (i_topology_utils.py:287-293) — so multi-tagged lines resolve
+    identically; untagged lines default to 'highway' (weight 0)."""
+    rows = []
+    for r in lines_pdf.itertuples(index=False):
+        ft = "highway"
+        for tag in ("waterway", "highway", "natural"):
+            v = getattr(r, tag, None)
+            if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                ft = tag
+        g = r.geometry
+        for i in range(len(g) - 1):
+            rows.append(
+                {"seg_id": f"{r.osm_id}_{i}",
+                 "ax": float(g[i][0]), "ay": float(g[i][1]),
+                 "bx": float(g[i + 1][0]), "by": float(g[i + 1][1]),
+                 "feature_type": ft}
+            )
+    return pd.DataFrame(
+        rows, columns=["seg_id", "ax", "ay", "bx", "by", "feature_type"]
+    )
 
 
 def segment_cover_pdf(segments_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
@@ -169,6 +198,24 @@ def boundary_types_for_blocks(
     different float path (y0 + step vs LAT0 + 2*step) sits ~1 ulp off
     the line and would otherwise lose a d=0 tie it geometrically owns."""
     spark = blocks.sparkSession
+    g0 = F.col(geometry_col)
+    if len(lines_pdf) == 0:
+        # no line features at all: every vertex distance exceeds the
+        # threshold, so every boundary segment types as 'gadm_boundary'
+        # (the reference's fallback) — one per open-ring segment.
+        first0, last0 = F.element_at(g0, 1), F.element_at(g0, -1)
+        closed0 = (
+            (F.size(g0) > 1)
+            & (first0[0] == last0[0])
+            & (first0[1] == last0[1])
+        )
+        n_seg = F.when(closed0, F.size(g0) - 1).otherwise(F.size(g0))
+        return blocks.withColumn(
+            "boundary_types",
+            F.transform(
+                F.sequence(F.lit(1), n_seg), lambda _: F.lit("gadm_boundary")
+            ),
+        )
     cover = segment_cover_pdf(lines_pdf, res)
     cov = F.broadcast(spark.createDataFrame(cover))
     segs = F.broadcast(

@@ -465,10 +465,14 @@ def ivf_train(
     for _ in range(n_iter):
         assign_ = np.argmax(xn @ cent.T, axis=1)
         sims = (xn * cent[assign_]).sum(axis=1)
+        # DISTINCT worst-served points for this iteration's empty
+        # clusters: reseeding them all to the same argmin would collapse
+        # the codebook to a few duplicate centroids
+        reseed = iter(np.argsort(sims))
         for c in range(n_centroids):
             members = xn[assign_ == c]
             if len(members) == 0:
-                cent[c] = xn[int(np.argmin(sims))]  # worst-served point
+                cent[c] = xn[next(reseed, 0)]
                 continue
             m = members.sum(axis=0)
             n = np.linalg.norm(m)

@@ -136,6 +136,10 @@ def run_pipeline(
     if lines_pdf is not None:
         from .operators import rangejoin as rangejoin_op
 
+        if "seg_id" not in lines_pdf.columns:
+            # OSM-style polyline table (osm_id/highway/waterway/natural/
+            # geometry) — flatten to the typed segment dimension
+            lines_pdf = rangejoin_op.segments_from_lines(lines_pdf)
         blocks_sdf = rangejoin_op.boundary_types_for_blocks(
             blocks_sdf, lines_pdf, res=min(res, 12)
         )
@@ -153,6 +157,9 @@ def run_pipeline(
     allf = store.read(spark, REBLOCK_ALL_TABLE)
     if allf is None:
         return computed
+    # the three sink splits each count AND commit their slice — cache the
+    # long frame once so that is 1 parquet scan, not 6
+    allf = allf.cache()
     scols = [f.name for f in reblock_op.REBLOCK_SUMMARY_SCHEMA.fields]
     ecols = [f.name for f in reblock_op.REBLOCK_EDGES_SCHEMA.fields]
     tcols = [f.name for f in reblock_op.REBLOCK_TERMINALS_SCHEMA.fields]
@@ -169,6 +176,7 @@ def run_pipeline(
         computed[tname] = n_new
         if n_new > 0:
             store.commit(sub, tname, "block_id", stage=tname)
+    allf.unpersist()
 
     return computed
 

@@ -103,11 +103,20 @@ def stream_hourly_rollup_append(
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        stage = f"stream_rollup_batch_{batch_id}"
+        # exactly-once needs BOTH halves: a crash before the manifest write
+        # leaves orphaned staging files no manifest references (safe), and a
+        # crash AFTER the manifest write but before the streaming checkpoint
+        # records the batch replays _commit with the same batch_id — the
+        # lineage stage marker detects that and skips the duplicate append.
+        man = store.manifest(table)
+        if man and any(l.get("stage") == stage for l in man.get("lineage", [])):
+            return
         store.commit(
             batch_df.withColumn("hour_key", F.date_format("hour_bucket", "yyyyMMddHH")),
             table,
             partition_col="hour_key",
-            stage=f"stream_rollup_batch_{batch_id}",
+            stage=stage,
         )
 
     q = (

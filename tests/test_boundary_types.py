@@ -95,3 +95,16 @@ def test_boundary_types_feed_reblock(spark):
     ).toPandas()
     ctl_exist = ctl[ctl.edge_type == "existing"]
     assert len(ctl_exist) > 0
+
+
+def test_boundary_types_empty_lines(spark):
+    """No line features at all: every segment types as the reference's
+    gadm_boundary fallback instead of crashing on a column-less cover."""
+    out = boundary_types_for_blocks(
+        _blocks(spark, [BLOCK, BLOCK + [BLOCK[0]]]),
+        LINES.iloc[0:0],
+        res=8,
+        threshold=0.1,
+    ).toPandas()
+    for bt in out["boundary_types"]:
+        assert list(bt) == ["gadm_boundary"] * 4

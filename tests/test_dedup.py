@@ -165,3 +165,20 @@ def test_incremental_phash_dedup_corpus_never_shuffles(spark):
         for r in dedup.incremental_phash_dedup(b2, c2).collect()
     }
     assert out == {"bx": ("ca", 0)}
+
+
+def test_incremental_phash_dedup_long_ids(spark):
+    """cluster_root must carry the FULL id — a fixed-width substring would
+    truncate (and could collide) URL/path-derived ids longer than 64."""
+    long_a = "img://bucket/" + "a" * 80
+    long_b = "img://bucket/" + "b" * 80
+    corpus = spark.createDataFrame(
+        [(long_a, 0x0F0F)], "image_id string, phash long"
+    )
+    batch = spark.createDataFrame(
+        [(long_b, 0x0F0E)], "image_id string, phash long"
+    )
+    rows = dedup.incremental_phash_dedup(batch, corpus).collect()
+    assert rows[0].image_id == long_b
+    assert rows[0].cluster_root == long_a  # full 93-char id, no truncation
+    assert rows[0].is_keep == 0

@@ -80,3 +80,20 @@ def test_ivf_train_tiny_input_pads(spark):
     cb = similarity.ivf_train(emb, n_centroids=16, sample_size=64)
     assert cb.shape == (16, 8)
     assert np.isfinite(cb).all()
+
+
+def test_ivf_train_reseeds_empty_clusters_distinctly(spark):
+    """n_centroids >> natural clusters: each iteration's empty clusters
+    must reseed to DISTINCT worst-served points — reseeding them all to
+    the same argmin collapses the codebook to a few duplicate centroids."""
+    pts = _clustered(n_clusters=2, per=60, d=8, noise=0.05, seed=3)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(pts)),
+             "embedding": [list(map(float, p)) for p in pts]}
+        )
+    )
+    cb = similarity.ivf_train(emb, n_centroids=16, n_iter=5)
+    assert cb.shape == (16, 8)
+    n_distinct = len(np.unique(np.round(cb, 9), axis=0))
+    assert n_distinct >= 10, f"codebook collapsed to {n_distinct} centroids"

@@ -213,3 +213,55 @@ def test_stateful_sessionize_matches_batch(spark):
             == pd.to_datetime(want.session_start).to_numpy()).all()
     assert (pd.to_datetime(got.session_end).to_numpy()
             == pd.to_datetime(want.session_end).to_numpy()).all()
+
+
+@pytest.mark.slow
+def test_append_rollup_commit_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay half of exactly-once: a batch whose TableStore commit
+    SUCCEEDED but whose streaming checkpoint write did not (simulated by
+    wiping the checkpoint and re-draining the same files) re-invokes
+    foreachBatch with the same batch_id — the lineage stage marker must
+    skip the duplicate append, or every closed window doubles."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_spark.sources.tablestore import TableStore
+    from prclz_spark.streaming.windows import stream_hourly_rollup_append
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = TableStore(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    for h in range(6):
+        for minute in (15, 45):
+            rows.append(
+                {"ts": pd.Timestamp(2026, 1, 1, h, minute),
+                 "event_type": "view", "value": 1.0}
+            )
+    pdf = pd.DataFrame(rows)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf.assign(ts=pdf.ts.astype("datetime64[us]")), preserve_index=False
+        ),
+        str(landing / "b1.parquet"),
+    )
+
+    stream_hourly_rollup_append(
+        spark, str(landing), store, "rollup", ckpt, watermark="2 hours"
+    )
+    first = store.read(spark, "rollup").toPandas()
+    assert len(first) == 3  # h0..h2 closed (watermark 03:45)
+
+    # checkpoint lost after commit -> the drain replays batch 0 verbatim
+    shutil.rmtree(ckpt)
+    stream_hourly_rollup_append(
+        spark, str(landing), store, "rollup", ckpt, watermark="2 hours"
+    )
+    again = store.read(spark, "rollup").toPandas()
+    assert len(again) == 3, "replayed batch was appended twice"
+    assert not again.duplicated(["hour_bucket", "event_type"]).any()
