@@ -12,8 +12,16 @@ Partitioning follows the north_rule: points carry a cell *prefix*
 neighborhood's images, blocks and k-values co-locate and downstream
 stages join without a shuffle.
 
-Run:  spark-submit --py-files prclz_spark pipeline.py  (or python -m
-prclz_spark.pipeline) — args in main().
+Cluster deploy (north_rule 'ships as spark-submit --py-files modules'):
+
+    python -m zipfile -c prclz_spark.zip prclz_spark
+    spark-submit --master <cluster> --py-files prclz_spark.zip \\
+        run_pipeline.py --store <warehouse-uri> --n <rows>
+
+(local dev: ``python -m prclz_spark.pipeline``) — args in main(). The
+package is pure Python + numpy/pandas/pyarrow (standard executor images),
+so the zip plus the thin ``run_pipeline.py`` launcher is the entire
+deployment artifact.
 """
 
 from __future__ import annotations

@@ -291,6 +291,25 @@ class TableStore:
         m = self.manifest(table, snapshot_id)
         return m["lineage"] if m else []
 
+    def metrics_df(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """The north_rule's per-partition METRICS TABLE: the snapshot's
+        lineage as a queryable DataFrame — one row per committed partition
+        with (stage, partition_id, rows_out, wall_ms, committed_at). The
+        Iceberg analog is the `<table>.files`/`<table>.snapshots` metadata
+        tables; here the manifest IS the metadata, so this is a driver-side
+        materialization (manifests are dimension-sized: one row per
+        committed partition, not per data row)."""
+        lineage = self.read_lineage(table, snapshot_id)
+        if not lineage:
+            return None
+        return spark.createDataFrame(
+            lineage,
+            "stage string, partition_id string, rows_out long, "
+            "wall_ms long, committed_at double",
+        )
+
     # -- resume -----------------------------------------------------------
     def completed_partitions(self, table: str) -> set[str]:
         return {rec["partition_id"] for rec in self.read_lineage(table)}

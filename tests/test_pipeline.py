@@ -133,3 +133,20 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     m1 = k_pdf.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
     m2 = k2.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
     assert m1.equals(m2)
+
+
+def test_tablestore_metrics_df(spark, tmp_path):
+    """north_rule 'per-partition lineage and metrics tables': the lineage
+    must be queryable as a real DataFrame, aggregating across stages."""
+    store = TableStore(str(tmp_path))
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 4).alias("bucket"))
+    store.commit(df, "t", "bucket", stage="s1")
+    store.commit(df.filter("id < 50"), "t", "bucket", stage="s2")
+    m = store.metrics_df(spark, "t")
+    assert m.count() == 8  # 4 partitions x 2 stages
+    agg = {
+        r["stage"]: r["rows"]
+        for r in m.groupBy("stage").agg(F.sum("rows_out").alias("rows")).collect()
+    }
+    assert agg == {"s1": 100, "s2": 50}
+    assert store.metrics_df(spark, "missing") is None
