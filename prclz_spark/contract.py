@@ -1044,6 +1044,33 @@ def _sql_evt_dedup_first(sf_dir):
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def _q_txt_bpe_tokens(spark, sf_dir):
+    """Token counting both ways — whitespace split and the GPT-2-style
+    BPE-ish piece regex (text.BPE_PATTERN), JVM regexp_extract_all, no
+    Python. Runs over documents UNION image captions: the captions'
+    'img_000000123' ids exercise the digit-run and punctuation-run
+    branches of the pattern that the plain word corpus never hits."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    caps = _images(spark, sf_dir).select(
+        F.concat(F.lit("cap_"), F.col("image_id")).alias("doc_id"),
+        F.col("caption").alias("text"),
+    )
+    return text.bpe_token_stats(d.unionByName(caps))
+
+
+def _sql_txt_bpe_tokens(sf_dir):
+    caps = (
+        f"select concat('cap_', image_id) as doc_id, caption as text "
+        f"from read_parquet('{images_parquet_path(sf_dir)}')"
+    )
+    return text.bpe_token_stats_sql(
+        f"(select cast(doc_id as varchar) as doc_id, text from documents "
+        f"union all {caps})"
+    )
+
+
 def _q_txt_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1796,6 +1823,7 @@ REGISTRY: dict[str, tuple] = {
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
     # text / dedup
     "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
+    "txt_bpe_tokens": (_q_txt_bpe_tokens, _sql_txt_bpe_tokens),
     "txt_quality_score": (_q_txt_quality, _sql_txt_quality),
     "txt_lang_id": (_q_txt_lang_id, _sql_txt_lang_id),
     "txt_simhash_buckets": (_q_txt_simhash, _sql_txt_simhash),

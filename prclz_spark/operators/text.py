@@ -30,6 +30,48 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 # ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+# Lookahead-free core of the GPT-2 pre-tokenizer split regex: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
+# residual whitespace. Valid with identical leftmost-first semantics in
+# BOTH Java regex (Spark codegen) and RE2 (DuckDB), so the SQL oracle can
+# carry the pattern verbatim. (The real GPT-2 pattern's only extra is a
+# `\s+(?!\S)` lookahead RE2 lacks; it only affects runs of 2+ spaces.)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-row token counts two ways (SURVEY training-data extension
+    'token counting: whitespace + a BPE-ish regex'): whitespace split and
+    GPT-2-style pre-tokenizer pieces. ``regexp_extract_all`` keeps the
+    regex in whole-stage codegen — no Python on the hot path; the piece
+    count is the standard proxy for LLM token budget at corpus scale."""
+    toks = F.split(F.col(text_col), " ")
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(pieces).alias("n_pieces_bpe"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def bpe_token_stats_sql(table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        select {id_col},
+               len(string_split({text_col}, ' ')) as n_tokens_ws,
+               len(regexp_extract_all({text_col}, '{pat}')) as n_pieces_bpe,
+               length({text_col}) as n_chars
+        from {table}
+    """
+
+
+# ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
 

@@ -148,3 +148,39 @@ def test_jaccard_df_cap_exactness(spark):
     )
     assert len(want) > 0  # fixture produces real near-dups
     assert [tuple(r) for r in got[["d1", "d2", "jaccard_r6"]].to_numpy()] == sorted(want)
+
+
+def test_bpe_pattern_tricky_strings(spark):
+    """The BPE-ish pattern must tokenize identically in Java regex (Spark)
+    and RE2 (DuckDB) on the branches the plain fixture corpus never hits:
+    contractions, digit runs, punctuation runs, leading/multiple spaces."""
+    import duckdb
+
+    from prclz_spark.operators import text as text_op
+
+    cases = {
+        "d0": "it's the cat's 2nd run",
+        "d1": "img_000000123 and img_000000124!",
+        "d2": "  leading and  double  spaces ",
+        "d3": "we'll i'm they've you're he'd don't",
+        "d4": "a1b2c3 ... ?! 42",
+        "d5": "",
+    }
+    pdf = pd.DataFrame({"doc_id": list(cases), "text": list(cases.values())})
+    got = (
+        text_op.bpe_token_stats(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = (
+        con.sql(text_op.bpe_token_stats_sql("docs"))
+        .df().set_index("doc_id").sort_index()
+    )
+    for c in ("n_tokens_ws", "n_pieces_bpe", "n_chars"):
+        assert list(got[c]) == list(want[c]), c
+    # spot-check hand counts: "it's the cat's 2nd run" ->
+    # it|'s| the| cat|'s| 2|nd| run = 8 pieces
+    assert got.loc["d0", "n_pieces_bpe"] == 8
+    # img|_|000000123| and| img|_|000000124|! = 8
+    assert got.loc["d1", "n_pieces_bpe"] == 8
