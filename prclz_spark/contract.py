@@ -32,6 +32,7 @@ from .operators import (
     assign,
     blocks,
     complexity,
+    curation,
     dedup,
     knn,
     multimodal,
@@ -1672,41 +1673,11 @@ def _q_img_phash_clusters(spark, sf_dir):
     image mapped to its cluster root (min image_id of the component,
     expanded back through exact-dup groups); is_keep marks the one
     canonical copy per cluster."""
-    img = _images(spark, sf_dir)
-    pairs = dedup.phash_near_dup(img)
-    reps = img.groupBy("phash").agg(F.min("image_id").alias("rep"))
-    cc = dedup.connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "node", "rep"
-    )
-    return (
-        img.select("image_id", "phash")
-        .join(reps, "phash")
-        .join(cc, "rep", "left")
-        .select(
-            "image_id", F.coalesce("root", F.col("rep")).alias("cluster_root")
-        )
-        .withColumn(
-            "is_keep", (F.col("image_id") == F.col("cluster_root")).cast("int")
-        )
-    )
+    return dedup.phash_clusters(_images(spark, sf_dir))
 
 
 def _sql_img_phash_clusters(sf_dir):
-    p = images_parquet_path(sf_dir)
-    pairs = dedup.phash_near_dup_sql(p)
-    return f"""
-        with recursive {dedup.cc_closure_sql(pairs)},
-        reps as (
-          select phash, min(image_id) as rep from read_parquet('{p}') group by 1
-        )
-        select i.image_id,
-               coalesce(r.root, reps.rep) as cluster_root,
-               cast(case when i.image_id = coalesce(r.root, reps.rep)
-                    then 1 else 0 end as int) as is_keep
-        from read_parquet('{p}') i
-        join reps using (phash)
-        left join roots r on r.u = reps.rep
-    """
+    return dedup.phash_clusters_sql(images_parquet_path(sf_dir))
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -1786,6 +1757,83 @@ def _sql_img_incremental_dedup(sf_dir):
     """
 
 
+def _q_img_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: Knuth multiplicative hash mod
+    a prime, pure bigint arithmetic on both engines (curation.py) —
+    stable across Spark versions, parallelism and corpus growth."""
+    img = _images(spark, sf_dir).select("image_id")
+    return curation.split_assign(
+        img, idnum=synth.image_id_num(F.col("image_id"))
+    )
+
+
+def _sql_img_split_assign(sf_dir):
+    idnum = "cast(substring(image_id, 5, 9) as bigint)"
+    b = curation.split_bucket_sql(idnum)
+    lab = curation.split_label_sql(b)
+    return f"""
+        select image_id, {b} as split_bucket, {lab} as split
+        from read_parquet('{images_parquet_path(sf_dir)}')
+    """
+
+
+def _q_img_training_manifest(spark, sf_dir):
+    """Capstone composition — one manifest row per image: broadcast PIP
+    block assign + caption quality/lang/BPE features inlined into a
+    single wide codegen projection + phash-cluster keep-list + split;
+    `selected` is the trainer-facing curation bit."""
+    img = _images(spark, sf_dir)
+    idnum = synth.image_id_num(F.col("image_id"))
+    lon, lat = synth.lonlat_cols(idnum)
+    pts = (
+        img.select("image_id", "caption", "phash")
+        .withColumn("lon", lon)
+        .withColumn("lat", lat)
+    )
+    # fixture captions all score quality_r6 = 0.2188 (formulaic shape), so
+    # the gate sits below that — selected then varies with the keep-list
+    return curation.training_manifest(
+        pts,
+        _grid_cover(spark),
+        PIP_RES,
+        idnum=synth.image_id_num(F.col("image_id")),
+        min_quality=0.2,
+    )
+
+
+def _sql_img_training_manifest(sf_dir):
+    p = images_parquet_path(sf_dir)
+    idnum = "cast(substring(image_id, 5, 9) as bigint)"
+    lon, lat = synth.lonlat_sql(idnum)
+    b = curation.split_bucket_sql(idnum)
+    lab = curation.split_label_sql(b)
+    q = text.quality_score_sql("imgs", "caption", "image_id")
+    lg = text.lang_id_sql("imgs", "caption", "image_id")
+    tk = text.bpe_token_stats_sql("imgs", "caption", "image_id")
+    clus = dedup.phash_clusters_sql(p)
+    return f"""
+        with imgs as (
+          select image_id, caption, phash, {lon} as lon, {lat} as lat
+          from read_parquet('{p}')
+        ),
+        base as (
+          select image_id, {_grid_block_sql()} as block_id,
+                 {b} as split_bucket, {lab} as split
+          from imgs
+        )
+        select m.image_id, m.block_id, c.cluster_root, c.is_keep,
+               q.quality_r6, l.pred_lang, t.n_pieces_bpe,
+               m.split_bucket, m.split,
+               cast(case when c.is_keep = 1 and q.quality_r6 >= 0.2
+                    then 1 else 0 end as int) as selected
+        from base m
+        join ({q}) q using (image_id)
+        join ({lg}) l using (image_id)
+        join ({tk}) t using (image_id)
+        join ({clus}) c using (image_id)
+    """
+
+
 # ===========================================================================
 
 REGISTRY: dict[str, tuple] = {
@@ -1851,6 +1899,12 @@ REGISTRY: dict[str, tuple] = {
     "img_incremental_dedup": (
         _q_img_incremental_dedup,
         _sql_img_incremental_dedup,
+    ),
+    # curation: deterministic splits + the end-to-end training manifest
+    "img_split_assign": (_q_img_split_assign, _sql_img_split_assign),
+    "img_training_manifest": (
+        _q_img_training_manifest,
+        _sql_img_training_manifest,
     ),
 }
 

@@ -122,6 +122,27 @@ def phash_near_dup_sql(
     """
 
 
+def phash_clusters_sql(parquet_path: str) -> str:
+    """DuckDB mirror of phash_clusters: recursive closure over the
+    near-dup pair graph, expanded back through exact-dup groups.
+    Self-contained (own WITH RECURSIVE) so it composes as a subquery."""
+    pairs = phash_near_dup_sql(parquet_path)
+    return f"""
+        with recursive {cc_closure_sql(pairs)},
+        reps as (
+          select phash, min(image_id) as rep
+          from read_parquet('{parquet_path}') group by 1
+        )
+        select i.image_id,
+               coalesce(r.root, reps.rep) as cluster_root,
+               cast(case when i.image_id = coalesce(r.root, reps.rep)
+                    then 1 else 0 end as int) as is_keep
+        from read_parquet('{parquet_path}') i
+        join reps using (phash)
+        left join roots r on r.u = reps.rep
+    """
+
+
 def _banded_groups(
     df: DataFrame, phash_col: str, id_col: str, bands: int
 ) -> DataFrame:
@@ -294,6 +315,31 @@ def connected_components(
             break
         prev_sig = (sig.n, sig.h)
     return e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+
+
+def phash_clusters(
+    img: DataFrame, id_col: str = "image_id", phash_col: str = "phash"
+) -> DataFrame:
+    """(image_id, cluster_root, is_keep) for the whole image corpus:
+    exact-dup groups collapse to a per-phash representative first (the
+    skew guard — a billion byte-identical thumbnails cost one groupBy,
+    never a pair explosion), banded-Hamming near-dup pairs connect the
+    representatives, and the component root expands back through the
+    exact-dup groups. is_keep marks the one canonical copy per cluster."""
+    pairs = phash_near_dup(img)
+    reps = img.groupBy(phash_col).agg(F.min(id_col).alias("rep"))
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "rep"
+    )
+    return (
+        img.select(id_col, phash_col)
+        .join(reps, phash_col)
+        .join(cc, "rep", "left")
+        .select(id_col, F.coalesce("root", F.col("rep")).alias("cluster_root"))
+        .withColumn(
+            "is_keep", (F.col(id_col) == F.col("cluster_root")).cast("int")
+        )
+    )
 
 
 def cluster_assign(

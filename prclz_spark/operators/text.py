@@ -42,6 +42,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def bpe_cols(text_col: str = "text") -> dict[str, Column]:
+    """Token-count feature columns (name -> unaliased Column) so wide
+    curation selects can inline them without a join per feature frame."""
+    toks = F.split(F.col(text_col), " ")
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return {
+        "n_tokens_ws": F.size(toks),
+        "n_pieces_bpe": F.size(pieces),
+        "n_chars": F.length(F.col(text_col)),
+    }
+
+
 def bpe_token_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-row token counts two ways (SURVEY training-data extension
@@ -49,14 +61,8 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text",
     GPT-2-style pre-tokenizer pieces. ``regexp_extract_all`` keeps the
     regex in whole-stage codegen — no Python on the hot path; the piece
     count is the standard proxy for LLM token budget at corpus scale."""
-    toks = F.split(F.col(text_col), " ")
-    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
-    return df.select(
-        id_col,
-        F.size(toks).alias("n_tokens_ws"),
-        F.size(pieces).alias("n_pieces_bpe"),
-        F.length(F.col(text_col)).alias("n_chars"),
-    )
+    cols = bpe_cols(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def bpe_token_stats_sql(table: str = "documents", text_col: str = "text",
@@ -75,11 +81,9 @@ def bpe_token_stats_sql(table: str = "documents", text_col: str = "text",
 # quality scoring
 # ---------------------------------------------------------------------------
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
-    """Length / punctuation / stopword / digit heuristics + a combined
-    score in [0, 1]. The score formula is deliberately simple arithmetic
-    over the ratios so both engines produce identical IEEE doubles."""
+def quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """Quality feature columns (name -> unaliased Column); see
+    quality_score for semantics."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -100,14 +104,22 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
         + (F.lit(1.0) - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
     )
-    return df.select(
-        id_col,
-        n_tokens.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len_r6"),
-        F.round(stop_ratio, 6).alias("stop_ratio_r6"),
-        F.round(punct_ratio, 6).alias("punct_ratio_r6"),
-        F.round(score, 6).alias("quality_r6"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_tok_len_r6": F.round(mean_tok_len, 6),
+        "stop_ratio_r6": F.round(stop_ratio, 6),
+        "punct_ratio_r6": F.round(punct_ratio, 6),
+        "quality_r6": F.round(score, 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Length / punctuation / stopword / digit heuristics + a combined
+    score in [0, 1]. The score formula is deliberately simple arithmetic
+    over the ratios so both engines produce identical IEEE doubles."""
+    cols = quality_cols(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def quality_score_sql(table: str = "documents", text_col: str = "text",
@@ -148,11 +160,9 @@ def quality_score_sql(table: str = "documents", text_col: str = "text",
 # language-ID heuristic
 # ---------------------------------------------------------------------------
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-            ) -> DataFrame:
-    """Marker-word scoring: count per-language marker hits among the
-    tokens; argmax with ties resolved by LANG_MARKERS order (an n-gram
-    language profile reduced to its most discriminative unigrams)."""
+def lang_cols(text_col: str = "text") -> dict[str, Column]:
+    """Language-ID feature columns (name -> unaliased Column); see
+    lang_id for semantics."""
     toks = F.split(F.col(text_col), " ")
 
     def marker_count(markers: tuple[str, ...]) -> Column:
@@ -167,11 +177,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         is_better = scores[lang] > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return df.select(
-        id_col,
-        best_lang.alias("pred_lang"),
-        best_score.alias("marker_hits"),
-    )
+    return {"pred_lang": best_lang, "marker_hits": best_score}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+            ) -> DataFrame:
+    """Marker-word scoring: count per-language marker hits among the
+    tokens; argmax with ties resolved by LANG_MARKERS order (an n-gram
+    language profile reduced to its most discriminative unigrams)."""
+    cols = lang_cols(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def lang_id_sql(table: str = "documents", text_col: str = "text",
