@@ -969,6 +969,28 @@ def _sql_evt_stream_window(sf_dir):
     """
 
 
+def _q_evt_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.py): each (user_id,
+    event_type) emitted exactly once via dropDuplicatesWithinWatermark —
+    state bounded by the watermark horizon, first row emitted
+    immediately. Output carries keys only, so the drain is deterministic
+    and equals the batch DISTINCT the oracle computes (the drain
+    watermark covers the fixture's whole 30-day span)."""
+    from .streaming.dedup import stream_dedup_keys
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(_DATA_DIR, f"stream_events_{sfname}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stream_dedup_keys(spark, stream_dir)
+
+
+def _sql_evt_stream_dedup(sf_dir):
+    return "select distinct user_id, event_type from events"
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1869,6 +1891,7 @@ REGISTRY: dict[str, tuple] = {
     "evt_stream_window": (_q_evt_stream_window, _sql_evt_stream_window),
     "evt_sessionize": (_q_evt_sessionize, _sql_evt_sessionize),
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
+    "evt_stream_dedup": (_q_evt_stream_dedup, _sql_evt_stream_dedup),
     # text / dedup
     "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
     "txt_bpe_tokens": (_q_txt_bpe_tokens, _sql_txt_bpe_tokens),

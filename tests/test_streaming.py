@@ -265,3 +265,75 @@ def test_append_rollup_commit_replay_is_idempotent(spark, tmp_path):
     again = store.read(spark, "rollup").toPandas()
     assert len(again) == 3, "replayed batch was appended twice"
     assert not again.duplicated(["hour_bucket", "event_type"]).any()
+
+
+def test_stream_dedup_watermark_evicts_state(spark, tmp_path):
+    """streaming/dedup.py semantics, both sides:
+
+    1. horizon covers the stream → every key exactly once (== batch
+       DISTINCT), regardless of how many micro-batches the drain splits
+       into;
+    2. tight horizon → a key recurring AFTER the watermark passed its
+       state is re-admitted (its state was EVICTED — the property that
+       bounds state at unbounded stream length; plain dropDuplicates
+       would hold it forever and emit once)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_spark.streaming.dedup import stream_dedup_keys
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+
+    def _write(name, rows, mtime):
+        pdf = pd.DataFrame(rows)
+        path = str(landing / name)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.assign(ts=pdf.ts.astype("datetime64[us]")),
+                preserve_index=False,
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))  # file source orders by mtime
+
+    K = {"user_id": 1, "event_type": "view"}
+    _write("b1.parquet", [dict(K, ts=pd.Timestamp(2026, 1, 1))], 1_000)
+    _write(
+        "b2.parquet",
+        [{"user_id": 2, "event_type": "view", "ts": pd.Timestamp(2026, 1, 5)}],
+        2_000,
+    )
+    _write(
+        "b3.parquet",
+        [{"user_id": 4, "event_type": "view", "ts": pd.Timestamp(2026, 1, 7)}],
+        3_000,
+    )
+    _write(
+        "b4.parquet",
+        [
+            dict(K, ts=pd.Timestamp(2026, 1, 10)),
+            {"user_id": 3, "event_type": "view", "ts": pd.Timestamp(2026, 1, 10)},
+        ],
+        4_000,
+    )
+
+    wide = stream_dedup_keys(
+        spark, str(landing), keys=("user_id", "event_type"),
+        watermark="45 days", max_files_per_trigger=1,
+    ).toPandas()
+    assert len(wide) == 4  # K, u2, u4, u3 — exactly the batch DISTINCT
+
+    tight = stream_dedup_keys(
+        spark, str(landing), keys=("user_id", "event_type"),
+        watermark="1 hour", max_files_per_trigger=1,
+    ).toPandas()
+    # state removal runs at each batch END with that batch's advanced
+    # watermark: b2 (Jan 5) advances it past Jan 1 + 1h, so K's state is
+    # evicted at b2's end, and its Jan 10 recurrence (two batches later)
+    # re-emits: 5 rows, K exactly twice
+    assert len(tight) == 5
+    assert (tight.user_id == 1).sum() == 2
