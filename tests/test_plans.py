@@ -212,3 +212,25 @@ def test_largest_overlap_plan_shape(spark):
     assert p.count("Generate") == 1
     assert "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning(cell" not in p
+
+
+def test_manifest_plan_single_python_eval(spark, cover):
+    """training_manifest: caption features + split are inlined Column
+    arithmetic — the ONLY Python in the plan stays the PIP boundary
+    refine, and the cover join stays broadcast."""
+    from prclz_spark.operators import curation
+
+    img = (
+        _points(spark, 5_000)
+        .withColumn(
+            "caption",
+            F.concat(F.lit("a photo of item "), F.col("image_id").cast("string")),
+        )
+        .withColumn("phash", F.xxhash64(F.col("image_id").cast("string")))
+    )
+    out = curation.training_manifest(img, cover, 15, idnum=F.col("image_id"))
+    p = _plan(out)
+    assert p.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in p
+    # the BPE piece count really is in the JVM projection, not a UDF
+    assert "regexp_extract_all" in p
