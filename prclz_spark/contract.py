@@ -1799,6 +1799,80 @@ def _sql_img_split_assign(sf_dir):
     """
 
 
+def _q_img_block_cap(spark, sf_dir):
+    """Anti-skew per-block cap (curation.cap_per_key): at most 20 images
+    per block, chosen deterministically by (portable_hash(id), id). The
+    engine runs the two-phase plan (count → hash prefilter → bounded
+    window + under-admission fallback); the oracle states the plain
+    window — identical output by construction."""
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    capped = curation.cap_per_key(
+        assigned,
+        ["block_id"],
+        20,
+        idnum=synth.image_id_num(F.col("image_id")),
+        id_col="image_id",
+    )
+    return capped.select("image_id", "block_id")
+
+
+def _sql_img_block_cap(sf_dir):
+    idnum = "cast(substring(image_id, 5, 9) as bigint)"
+    h = curation.portable_hash_sql(idnum)
+    return f"""
+        with pts as ({_img_points_sql(sf_dir)}),
+        blk as (
+          select image_id, {_grid_block_sql()} as block_id, {h} as h
+          from pts
+        )
+        select image_id, block_id from (
+          select image_id, block_id,
+                 row_number() over (partition by block_id
+                                    order by h, image_id) as rk
+          from blk) where rk <= 20
+    """
+
+
+PACK_BUDGET = 4096
+PACK_RANGE_W = 64
+
+
+def _q_txt_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (curation.pack_shards): documents in
+    canonical doc_id order, shard boundary every 4096 BPE pieces; the
+    engine computes the global prefix sum as a two-level decomposition
+    (per-range totals + within-range windows — no single-task global
+    sort); the oracle states the naive global window."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.bpe_token_stats(d)
+    return curation.pack_shards(
+        toks,
+        "n_pieces_bpe",
+        PACK_BUDGET,
+        idnum=F.col("doc_id"),
+        range_width=PACK_RANGE_W,
+        id_col="doc_id",
+    ).select("doc_id", "n_pieces_bpe", "token_start", "shard_id")
+
+
+def _sql_txt_pack_shards(sf_dir):
+    toks = text.bpe_token_stats_sql("documents")
+    return f"""
+        with toks as ({toks})
+        select doc_id, n_pieces_bpe,
+               cast(coalesce(sum(n_pieces_bpe) over (
+                   order by doc_id
+                   rows between unbounded preceding and 1 preceding
+               ), 0) as bigint) as token_start,
+               cast(floor(cast(coalesce(sum(n_pieces_bpe) over (
+                   order by doc_id
+                   rows between unbounded preceding and 1 preceding
+               ), 0) as bigint) / {PACK_BUDGET}) as bigint) as shard_id
+        from toks
+    """
+
+
 def _q_img_training_manifest(spark, sf_dir):
     """Capstone composition — one manifest row per image: broadcast PIP
     block assign + caption quality/lang/BPE features inlined into a
@@ -1925,6 +1999,8 @@ REGISTRY: dict[str, tuple] = {
     ),
     # curation: deterministic splits + the end-to-end training manifest
     "img_split_assign": (_q_img_split_assign, _sql_img_split_assign),
+    "img_block_cap": (_q_img_block_cap, _sql_img_block_cap),
+    "txt_pack_shards": (_q_txt_pack_shards, _sql_txt_pack_shards),
     "img_training_manifest": (
         _q_img_training_manifest,
         _sql_img_training_manifest,

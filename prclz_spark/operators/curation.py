@@ -36,16 +36,28 @@ SPLIT_MULT = 2_654_435_761   # Knuth multiplicative constant (2^32 * phi)
 SPLIT_OFF = 40_503
 
 
-def split_bucket(idnum: Column, n_buckets: int = 10_000) -> Column:
-    """Deterministic bucket in [0, n_buckets) from a nonnegative bigint
-    id. ((id % P) * M + O) % P % B — every intermediate < 2^63, so the
-    SQL mirror is exact (no float, no overflow, no engine hash)."""
-    h = F.pmod(
+def portable_hash(idnum: Column) -> Column:
+    """Deterministic hash in [0, SPLIT_P) from a nonnegative bigint id:
+    ((id % P) * M + O) % P — every intermediate < 2^63, so the SQL
+    mirror is exact (no float, no overflow, no engine hash)."""
+    return F.pmod(
         F.pmod(idnum.cast("long"), F.lit(SPLIT_P)) * F.lit(SPLIT_MULT)
         + F.lit(SPLIT_OFF),
         F.lit(SPLIT_P),
     )
-    return F.pmod(h, F.lit(n_buckets))
+
+
+def portable_hash_sql(idnum_expr: str) -> str:
+    return (
+        f"((({idnum_expr}) % {SPLIT_P}) * {SPLIT_MULT} + {SPLIT_OFF})"
+        f" % {SPLIT_P}"
+    )
+
+
+def split_bucket(idnum: Column, n_buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a nonnegative bigint
+    id (portable_hash % n_buckets)."""
+    return F.pmod(portable_hash(idnum), F.lit(n_buckets))
 
 
 def split_bucket_sql(idnum_expr: str, n_buckets: int = 10_000) -> str:
@@ -150,4 +162,121 @@ def training_manifest(
         (
             (F.col("is_keep") == 1) & (F.col("quality_r6") >= F.lit(min_quality))
         ).cast("int").alias("selected"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    idnum: Column,
+    id_col: str = "image_id",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Anti-skew downsampling: keep at most ``n`` rows per key, chosen
+    deterministically as the top-n by (portable_hash(id), id) within the
+    key — a web-scale pipeline's per-domain / per-block cap.
+
+    Semantics are exactly ``row_number() over (partition by key order by
+    h, id) <= n`` — what the SQL oracle states. The implementation
+    refuses to pay that window's skew cost directly: with a hot key
+    holding 30% of 10^12 rows, a single sort task would own 30% of the
+    corpus. Instead:
+
+    1. per-key counts (map-side-combinable agg, one row per key);
+    2. hash-threshold PREFILTER: keep rows with h/P * cnt < n*margin —
+       ~margin*n survivors per key regardless of key size, so the exact
+       window that follows sorts O(margin*n) rows per key, never O(cnt);
+    3. exactness guard: any key whose prefilter admitted fewer than
+       min(n, cnt) rows (order-statistic tail, probability ~e^-n at
+       margin 4) falls back to the full window for that key alone.
+
+    The guard makes the two-phase plan EXACT, not approximate — the
+    prefilter only ever changes the plan, never the result.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(idnum)
+    with_h = df.withColumn("__h", h)
+    counts = with_h.groupBy(*key_cols).agg(F.count("*").alias("__cnt"))
+    joined = with_h.join(counts, key_cols)
+    pass_pre = (
+        F.col("__h").cast("double") / F.lit(float(SPLIT_P)) * F.col("__cnt")
+        < F.lit(float(n) * margin)
+    )
+    survivors = joined.filter(pass_pre)
+    # exactness guard: under-admitted keys re-run on their full rows
+    surv_counts = survivors.groupBy(*key_cols).agg(
+        F.count("*").alias("__scnt")
+    )
+    under = (
+        counts.join(surv_counts, key_cols, "left")
+        .filter(
+            F.coalesce(F.col("__scnt"), F.lit(0))
+            < F.least(F.lit(n), F.col("__cnt"))
+        )
+        .select(*key_cols)
+    )
+    ok_rows = survivors.join(F.broadcast(under), key_cols, "left_anti")
+    bad_rows = joined.join(F.broadcast(under), key_cols, "left_semi")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        ok_rows.unionByName(bad_rows)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__h", "__cnt", "__rk")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    idnum: Column,
+    range_width: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget shard packing: documents concatenated in canonical
+    id order, a shard boundary every ``budget`` tokens; each document's
+    shard is floor(exclusive-prefix-sum / budget) — the deterministic
+    sequence-packing layout trainers stream.
+
+    Semantics = one global window cumsum, which executed literally is a
+    single-task total sort — the classic scale trap. Implementation is a
+    two-level prefix sum: rows bucket into contiguous id ranges
+    (floor(id / range_width)); per-range token totals (one tiny row per
+    range) turn into exclusive range offsets via a range-keyed window
+    over the TOTALS frame only; rows then window-cumsum WITHIN their
+    range (independent parallel sorts of range-sized slices) and add the
+    broadcast offset. Global order never materializes in one task; the
+    result is bit-identical to the naive global window (the SQL oracle
+    states the naive form).
+    """
+    from pyspark.sql import Window
+
+    rng = F.floor(idnum / F.lit(range_width)).alias("__rng")
+    rows = df.withColumn("__rng", rng).withColumn("__id", idnum)
+    totals = rows.groupBy("__rng").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__tot")
+    )
+    w_off = Window.orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__rng", "__off")
+    w_in = Window.partitionBy("__rng").orderBy(F.col("__id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__rng")
+        .withColumn(
+            "token_start",
+            F.col("__off")
+            + F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w_in), F.lit(0)),
+        )
+        .withColumn("shard_id", F.floor(F.col("token_start") / F.lit(budget)))
+        .drop("__rng", "__id", "__off")
     )

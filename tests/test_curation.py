@@ -81,3 +81,59 @@ def test_manifest_selected_coherence(spark):
     # every cluster keeps exactly one canonical copy
     keeps = m.groupby("cluster_root")["is_keep"].sum()
     assert (keeps == 1).all()
+
+
+def _brute_cap(pdf, n):
+    """pandas oracle: top-n per key by (portable_hash(id), id)."""
+    h = ((pdf.id % curation.SPLIT_P) * curation.SPLIT_MULT
+         + curation.SPLIT_OFF) % curation.SPLIT_P
+    d = pdf.assign(h=h).sort_values(["key", "h", "id"])
+    return d.groupby("key").head(n)[["id", "key"]].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("margin", [4.0, 0.2])
+def test_cap_per_key_exact_with_skew(spark, margin):
+    """Two-phase cap == plain-window semantics on a skewed corpus; at
+    margin 0.2 the prefilter under-admits on most keys, forcing the
+    fallback path — output must not change."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    keys = np.concatenate([
+        np.zeros(3000, dtype=int),          # hot key: 3000 rows
+        rng.integers(1, 40, size=2000),     # long tail
+    ])
+    pdf = pd.DataFrame({"id": np.arange(len(keys)), "key": keys})
+    got = (
+        curation.cap_per_key(
+            spark.createDataFrame(pdf), ["key"], 25,
+            idnum=F.col("id"), id_col="id", margin=margin,
+        )
+        .select("id", "key").toPandas()
+        .sort_values(["key", "id"]).reset_index(drop=True)
+    )
+    want = _brute_cap(pdf, 25).sort_values(["key", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("key").size() <= 25).all()
+
+
+def test_pack_shards_equals_naive_window(spark):
+    """Two-level prefix sum == naive global cumsum, and every shard's
+    token mass stays within budget + one straddling document."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(1, 900, size=4000)
+    pdf = pd.DataFrame({"doc_id": np.arange(4000), "n_tok": toks})
+    got = (
+        curation.pack_shards(
+            spark.createDataFrame(pdf), "n_tok", 2048,
+            idnum=F.col("doc_id"), range_width=97, id_col="doc_id",
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    start = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert (got.token_start.to_numpy() == start).all()
+    assert (got.shard_id.to_numpy() == start // 2048).all()
+    per_shard = got.assign(n=toks).groupby("shard_id")["n"].sum()
+    assert (per_shard.iloc[:-1] <= 2048 + toks.max()).all()
