@@ -32,12 +32,14 @@ from pyspark.sql import functions as F
 from .functions import cells
 from .operators import assign as assign_op
 from .operators import complexity as complexity_op
+from .operators import curation as curation_op
 from .operators import parcel as parcel_op
 from .operators import reblock as reblock_op
 from .sources import synth
 from .sources.tablestore import TableStore
 
 ASSIGN_TABLE = "assign"
+MANIFEST_TABLE = "manifest"
 COMPLEXITY_TABLE = "complexity"
 PARCELS_TABLE = "parcels"
 REBLOCK_ALL_TABLE = "reblock_all"
@@ -51,6 +53,28 @@ def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> 
     lon, lat = synth.lonlat_cols(F.col("id"))
     return base.select(
         F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def image_rows(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """image_points plus JVM-synthesized caption and phash columns (the
+    input_hint row shape, minus the binary payload): captions vary over
+    two coprime cycles so text features are non-constant; every 8
+    consecutive ids share a phash, giving the manifest's keep-list real
+    exact-dup groups to collapse."""
+    return (
+        image_points(spark, n, partitions)
+        .withColumn(
+            "caption",
+            F.format_string(
+                "a photo of landmark %d near gate %d",
+                F.col("image_id") % 997,
+                F.col("image_id") % 53,
+            ),
+        )
+        .withColumn(
+            "phash", F.xxhash64(F.floor(F.col("image_id") / 8).cast("string"))
+        )
     )
 
 
@@ -185,6 +209,26 @@ def run_pipeline(
         if n_new > 0:
             store.commit(sub, tname, "block_id", stage=tname)
     allf.unpersist()
+
+    # -- stage 5: curated training manifest ---------------------------------
+    # The keep-list (phash connected components) is a GLOBAL property of
+    # the corpus, so this stage commits atomically as one unit — a
+    # per-block resume would cluster within subsets and change results.
+    # The lineage stage marker makes the commit idempotent: a re-run
+    # after a crash either sees no manifest (recompute) or the marker
+    # (skip) — same guard as the streaming foreachBatch sink.
+    man = store.manifest(MANIFEST_TABLE)
+    if man and any(
+        l.get("stage") == MANIFEST_TABLE for l in man.get("lineage", [])
+    ):
+        computed[MANIFEST_TABLE] = 0
+    else:
+        img = image_rows(spark, n_images)
+        mf = curation_op.training_manifest(
+            img, cover, res, idnum=F.col("image_id")
+        )
+        store.commit(mf, MANIFEST_TABLE, "split", stage=MANIFEST_TABLE)
+        computed[MANIFEST_TABLE] = n_images
 
     return computed
 

@@ -77,12 +77,14 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     assert out1["parcels"] == 16
     assert out1["reblock_all"] == 16
     assert out1["reblock_summary"] == 16  # summary rows derived, 1/block
+    assert out1["manifest"] == 5_000
 
     # resume on a complete store: nothing recomputed in ANY stage
     out2 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
     assert out2 == {
         "assign": 0, "complexity": 0, "parcels": 0, "reblock_all": 0,
         "reblock_summary": 0, "reblock_edges": 0, "reblock_terminals": 0,
+        "manifest": 0,
     }
 
     store = TableStore(root)
@@ -118,6 +120,7 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     assert out3 == {
         "assign": 0, "complexity": 16, "parcels": 0, "reblock_all": 0,
         "reblock_summary": 0, "reblock_edges": 0, "reblock_terminals": 0,
+        "manifest": 0,
     }
 
     # kill the TERMINALS sink only: it re-derives from the committed
@@ -133,6 +136,22 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     m1 = k_pdf.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
     m2 = k2.sort_values("block_id")[["block_id", "complexity"]].reset_index(drop=True)
     assert m1.equals(m2)
+
+    # stage 5: curated manifest — one row per image, all-or-nothing
+    mf = store.read(spark, "manifest").toPandas()
+    assert len(mf) == 5_000
+    assert mf.image_id.is_unique
+    assert set(mf.split.unique()) <= {"train", "val", "test"}
+    assert (mf.groupby("cluster_root")["is_keep"].sum() == 1).all()
+    # kill the manifest table: exactly stage 5 re-runs, nothing upstream
+    shutil.rmtree(os.path.join(root, "manifest"))
+    out5 = pipeline.run_pipeline(spark, root, n_images=5_000, grid_g=4)
+    assert out5["manifest"] == 5_000
+    assert out5["assign"] == 0 and out5["reblock_all"] == 0
+    mf2 = store.read(spark, "manifest").toPandas()
+    a = mf.sort_values("image_id").reset_index(drop=True)
+    b = mf2.sort_values("image_id").reset_index(drop=True)
+    assert a[["image_id", "split", "is_keep"]].equals(b[["image_id", "split", "is_keep"]])
 
 
 def test_tablestore_metrics_df(spark, tmp_path):
