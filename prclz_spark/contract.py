@@ -941,6 +941,23 @@ def _sql_evt_window_agg(sf_dir):
     """
 
 
+def _stage_stream_dir(sf_dir: str) -> str:
+    """Stage a directory for the file-stream source (it lists a DIR):
+    one symlink to the read-only events fixture. lexists, not exists —
+    a dangling link (fixture moved/rebuilt) must be repaired, not
+    tripped over with FileExistsError."""
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(_DATA_DIR, f"stream_events_{sfname}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+    return stream_dir
+
+
 def _q_evt_stream_window(spark, sf_dir):
     """Structured Streaming rollup (SURVEY.md §2.8): readStream over the
     events parquet → watermarked 1-hour event-time windows → availableNow
@@ -949,15 +966,7 @@ def _q_evt_stream_window(spark, sf_dir):
     evt_window_agg uses."""
     from .streaming.windows import stream_hourly_rollup
 
-    # the file stream source lists a DIRECTORY; stage one holding a
-    # symlink to the (read-only) fixture file
-    sfname = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = os.path.join(_DATA_DIR, f"stream_events_{sfname}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "part-0.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return stream_hourly_rollup(spark, stream_dir)
+    return stream_hourly_rollup(spark, _stage_stream_dir(sf_dir))
 
 
 def _sql_evt_stream_window(sf_dir):
@@ -978,13 +987,7 @@ def _q_evt_stream_dedup(spark, sf_dir):
     watermark covers the fixture's whole 30-day span)."""
     from .streaming.dedup import stream_dedup_keys
 
-    sfname = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = os.path.join(_DATA_DIR, f"stream_events_{sfname}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "part-0.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return stream_dedup_keys(spark, stream_dir)
+    return stream_dedup_keys(spark, _stage_stream_dir(sf_dir))
 
 
 def _sql_evt_stream_dedup(sf_dir):

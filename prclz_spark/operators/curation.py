@@ -61,10 +61,7 @@ def split_bucket(idnum: Column, n_buckets: int = 10_000) -> Column:
 
 
 def split_bucket_sql(idnum_expr: str, n_buckets: int = 10_000) -> str:
-    return (
-        f"((({idnum_expr}) % {SPLIT_P}) * {SPLIT_MULT} + {SPLIT_OFF})"
-        f" % {SPLIT_P} % {n_buckets}"
-    )
+    return f"{portable_hash_sql(idnum_expr)} % {n_buckets}"
 
 
 def _cuts(weights: tuple[float, float, float], n_buckets: int) -> tuple[int, int]:
@@ -123,6 +120,7 @@ def training_manifest(
     min_quality: float = 0.5,
     weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
     n_buckets: int = 10_000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One manifest row per image: containing block, dedup cluster root +
     keep flag, caption quality / language / BPE piece count, split, and
@@ -131,8 +129,15 @@ def training_manifest(
 
     ``img`` needs (id, caption, phash, lon, lat); ``cover``/``res`` as in
     assign.assign_points_to_blocks (pandas cover → broadcast fast path).
+    Pass ``assigned`` (same row shape plus block_id) to reuse an already-
+    committed assign table instead of re-running the PIP join — the
+    pipeline's stage 5 does, so the most expensive stage never runs
+    twice; ``cover``/``res`` are ignored then.
     """
-    assigned = assign.assign_points_to_blocks(img, cover, res, lon_col, lat_col)
+    if assigned is None:
+        assigned = assign.assign_points_to_blocks(
+            img, cover, res, lon_col, lat_col
+        )
     q = text.quality_cols(caption_col)
     lg = text.lang_cols(caption_col)
     bp = text.bpe_cols(caption_col)
@@ -250,9 +255,18 @@ def pack_shards(
     range) turn into exclusive range offsets via a range-keyed window
     over the TOTALS frame only; rows then window-cumsum WITHIN their
     range (independent parallel sorts of range-sized slices) and add the
-    broadcast offset. Global order never materializes in one task; the
-    result is bit-identical to the naive global window (the SQL oracle
-    states the naive form).
+    broadcast offset. ROW-level data never globally sorts; the result is
+    bit-identical to the naive global window (the SQL oracle states the
+    naive form).
+
+    Choosing ``range_width``: the offsets stage is still a single-task
+    window + driver broadcast over n_ranges = max_id/range_width rows —
+    deliberately, because those rows are 16 bytes each. Size range_width
+    so n_ranges lands in [4×cores, ~10^6] (10^6 offsets ≈ 16 MB: trivial
+    to sort and broadcast, and ample parallelism for the row stage). At
+    10^12 docs that means range_width ≈ 10^6, NOT the fixture's 64; a
+    range_width that puts n_ranges near the row count silently recreates
+    the global sort this function exists to avoid.
     """
     from pyspark.sql import Window
 

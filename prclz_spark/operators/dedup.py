@@ -326,7 +326,7 @@ def phash_clusters(
     never a pair explosion), banded-Hamming near-dup pairs connect the
     representatives, and the component root expands back through the
     exact-dup groups. is_keep marks the one canonical copy per cluster."""
-    pairs = phash_near_dup(img)
+    pairs = phash_near_dup(img, phash_col=phash_col, id_col=id_col)
     reps = img.groupBy(phash_col).agg(F.min(id_col).alias("rep"))
     cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
         "node", "rep"

@@ -37,9 +37,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
 # residual whitespace. Valid with identical leftmost-first semantics in
 # BOTH Java regex (Spark codegen) and RE2 (DuckDB), so the SQL oracle can
-# carry the pattern verbatim. (The real GPT-2 pattern's only extra is a
-# `\s+(?!\S)` lookahead RE2 lacks; it only affects runs of 2+ spaces.)
-BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# carry the pattern verbatim. Whitespace is the EXPLICIT class [\t-\r ]
+# (tab..CR plus space), because the engines' \s disagree on exactly
+# \x0B: Java includes it, RE2 does not — with \s a vertical tab would
+# silently split punctuation runs differently per engine. (The real
+# GPT-2 pattern's only extra is a `\s+(?!\S)` lookahead RE2 lacks; it
+# only affects runs of 2+ spaces.)
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\t-\r \p{L}\p{N}]+|[\t-\r ]+"
+)
 
 
 def bpe_cols(text_col: str = "text") -> dict[str, Column]:

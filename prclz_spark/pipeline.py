@@ -56,26 +56,28 @@ def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> 
     )
 
 
-def image_rows(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """image_points plus JVM-synthesized caption and phash columns (the
+def _caption_phash_cols(df: DataFrame) -> DataFrame:
+    """JVM-synthesized caption and phash columns from image_id (the
     input_hint row shape, minus the binary payload): captions vary over
     two coprime cycles so text features are non-constant; every 8
     consecutive ids share a phash, giving the manifest's keep-list real
-    exact-dup groups to collapse."""
-    return (
-        image_points(spark, n, partitions)
-        .withColumn(
-            "caption",
-            F.format_string(
-                "a photo of landmark %d near gate %d",
-                F.col("image_id") % 997,
-                F.col("image_id") % 53,
-            ),
-        )
-        .withColumn(
-            "phash", F.xxhash64(F.floor(F.col("image_id") / 8).cast("string"))
-        )
+    exact-dup groups to collapse. Pure Column arithmetic, so it applies
+    identically to fresh points and to the committed assign table."""
+    return df.withColumn(
+        "caption",
+        F.format_string(
+            "a photo of landmark %d near gate %d",
+            F.col("image_id") % 997,
+            F.col("image_id") % 53,
+        ),
+    ).withColumn(
+        "phash", F.xxhash64(F.floor(F.col("image_id") / 8).cast("string"))
     )
+
+
+def image_rows(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """image_points plus the synthesized caption/phash columns."""
+    return _caption_phash_cols(image_points(spark, n, partitions))
 
 
 def run_pipeline(
@@ -223,12 +225,18 @@ def run_pipeline(
     ):
         computed[MANIFEST_TABLE] = 0
     else:
-        img = image_rows(spark, n_images)
+        # reuse stage 1's committed assign output — caption and phash are
+        # pure Column arithmetic of image_id, so the PIP join (the
+        # pipeline's most expensive stage) never runs twice
+        img = _caption_phash_cols(assigned)
         mf = curation_op.training_manifest(
-            img, cover, res, idnum=F.col("image_id")
+            img, cover, res, idnum=F.col("image_id"), assigned=img
         )
-        store.commit(mf, MANIFEST_TABLE, "split", stage=MANIFEST_TABLE)
-        computed[MANIFEST_TABLE] = n_images
+        # partition by block_id like every other stage: high-cardinality
+        # parallel writes that co-locate with the spatial tables (a
+        # 'split' partitioning would funnel the write through 3 tasks)
+        store.commit(mf, MANIFEST_TABLE, "block_id", stage=MANIFEST_TABLE)
+        computed[MANIFEST_TABLE] = store.read(spark, MANIFEST_TABLE).count()
 
     return computed
 

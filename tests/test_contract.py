@@ -165,6 +165,9 @@ def test_bpe_pattern_tricky_strings(spark):
         "d3": "we'll i'm they've you're he'd don't",
         "d4": "a1b2c3 ... ?! 42",
         "d5": "",
+        # \x0B: Java \s includes it, RE2 \s does not — the explicit
+        # [\t-\r ] class in BPE_PATTERN must make both engines agree
+        "d6": "!\x0b! tab\there",
     }
     pdf = pd.DataFrame({"doc_id": list(cases), "text": list(cases.values())})
     got = (

@@ -188,11 +188,7 @@ def test_stateful_sessionize_matches_batch(spark):
     from prclz_spark.streaming.stateful import sessionize_stream
 
     sf_dir = "/root/testdata/sf0.001"
-    stream_dir = os.path.join(contract._DATA_DIR, "stream_events_sf0.001")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "part-0.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream_dir = contract._stage_stream_dir(sf_dir)
     schema = spark.read.parquet(stream_dir).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     out = sessionize_stream(stream, gap_min=contract.SESSION_GAP_MIN, emit_open=True)
