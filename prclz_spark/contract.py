@@ -1334,6 +1334,68 @@ _NDL_TABLES = 4  # near-dup LSH: tables × planes per table
 _NDL_PLANES = 8
 
 
+_PQ_M = 8
+_PQ_CODES = 16
+
+
+def _q_emb_pq_codes(spark, sf_dir):
+    """Product quantization (similarity.pq_encode): 64 float dims -> 8
+    codes via per-subvector argmin against fixed LCG codebooks — the
+    compressed-memory ANN path; every float reduction is sequentially
+    accumulated so the SQL oracle's `+` chains match bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(e, m=_PQ_M, n_codes=_PQ_CODES, dim=_EMB_DIM)
+    return enc.select(
+        "vec_id",
+        *[F.element_at("codes", j + 1).alias(f"c{j}") for j in range(_PQ_M)],
+    )
+
+
+def _sql_emb_pq_codes(sf_dir):
+    sub = similarity.pq_encode_sql("embeddings", _PQ_M, _PQ_CODES, _EMB_DIM)
+    return f"select * from {sub}"
+
+
+def _q_emb_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes: corpus read as codes only, score = m
+    table lookups per candidate (no per-row float vector) — the memory
+    shape that makes 10^12-vector ANN feasible."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.pq_topk(
+        e, q, k=5, m=_PQ_M, n_codes=_PQ_CODES, dim=_EMB_DIM
+    )
+
+
+def _sql_emb_pq_topk(sf_dir):
+    enc = similarity.pq_encode_sql("embeddings", _PQ_M, _PQ_CODES, _EMB_DIM)
+    sub_d = _EMB_DIM // _PQ_M
+    lookups = " + ".join(
+        "(case "
+        + " ".join(
+            f"when e.c{j} = {c} then "
+            + similarity._pq_sub_score_sql(j, c, sub_d, "q.qv", False)
+            for c in range(_PQ_CODES)
+        )
+        + " else 0.0 end)"
+        for j in range(_PQ_M)
+    )
+    return f"""
+        with enc as (select * from {enc}),
+        qs as (select vec_id as q_id, embedding as qv
+               from embeddings where vec_id < 10)
+        select q_id, rank, neighbor_id from (
+          select q.q_id, e.vec_id as neighbor_id,
+                 row_number() over (partition by q.q_id
+                                    order by round({lookups}, 6) desc,
+                                             e.vec_id asc) as rank
+          from qs q cross join enc e
+          where e.vec_id <> q.q_id) where rank <= 5
+    """
+
+
 def _q_emb_near_dup_lsh(spark, sf_dir):
     """Approximate near-dup at the 10^12-row shape: candidates = pairs
     sharing an LSH bucket in any of the tables, exact cosine verify. The
@@ -1988,6 +2050,8 @@ REGISTRY: dict[str, tuple] = {
     "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
     "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
     "emb_ivf_recall": (_q_emb_ivf_recall, _sql_emb_ivf_recall),
+    "emb_pq_codes": (_q_emb_pq_codes, _sql_emb_pq_codes),
+    "emb_pq_topk": (_q_emb_pq_topk, _sql_emb_pq_topk),
     # multimodal
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),

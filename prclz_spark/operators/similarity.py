@@ -628,3 +628,259 @@ def lsh_plane_sql(vec_expr: str, n_planes: int, d: int, plane_offset: int = 0) -
         dot = " + ".join(terms) if terms else "0.0"
         parts.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
     return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# product quantization — compressed codes + ADC top-k (the 10^12-row ANN
+# memory path: 64 float32 dims -> m uint4/uint8 codes per vector)
+# ---------------------------------------------------------------------------
+
+def _pq_code_coef(sub: int, code: int, i: int) -> int:
+    """Deterministic sub-codebook component in [-4, 4] — a third LCG
+    stream (distinct from LSH planes and IVF centroids) so the SQL
+    oracle replays the exact codebooks."""
+    return (
+        (sub * 15485863 + code * 104729 + i * 31 + 7) * _LCG_A + _LCG_B
+    ) % _LCG_M % 9 - 4
+
+
+def _pq_codebooks(m: int, n_codes: int, sub_d: int) -> np.ndarray:
+    """(m, n_codes, sub_d) fixed codebooks."""
+    return np.array(
+        [
+            [[_pq_code_coef(j, c, i) for i in range(sub_d)] for c in range(n_codes)]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    sample_size: int = 65_536,
+    n_iter: int = 12,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-dependent PQ codebooks: per-subvector Lloyd's k-means (plain
+    L2 — ADC approximates inner products of the RECONSTRUCTIONS, so the
+    codebooks must sit where the data is; the fixed LCG books are random
+    integer points and quantize real data to noise — recall ~0). Same
+    10^12-row shape as ivf_train: deterministic orderBy(id).limit sample
+    (TakeOrdered, no global sort), O(sample * k * d * iters) on the
+    driver, codebooks broadcast. Returns (m, n_codes, d/m); pass to
+    pq_encode/pq_topk via ``codebooks=``. The fixed-LCG mode
+    (codebooks=None) remains the SQL-oracle mode."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    d = dim if dim is not None else x.shape[1]
+    assert d % m == 0, (d, m)
+    sd = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sd))
+    for j in range(m):
+        xs = x[:, j * sd:(j + 1) * sd]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        if k < n_codes:
+            cent = np.vstack([cent] * (n_codes // k + 1))[:n_codes]
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            worst = iter(np.argsort(-d2[np.arange(len(xs)), a]))
+            for c in range(n_codes):
+                mem = xs[a == c]
+                cent[c] = mem.mean(axis=0) if len(mem) else xs[next(worst, 0)]
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, codes): per-subvector nearest-codebook-entry assignment —
+    argmin L2, computed as argmax of (x_sub . c - |c|^2/2). Compression:
+    d float32 -> m small ints; at 10^12 rows that is the difference
+    between an in-memory ANN index and none.
+
+    IEEE determinism contract with the SQL oracle: every float reduction
+    is accumulated SEQUENTIALLY in the same order as the SQL's
+    left-associated `+` chain (numpy pairwise summation could differ in
+    the last ulp and flip an argmax near a tie); ties break to the lower
+    code on both sides."""
+    spark = embeddings.sparkSession
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
+    assert d % m == 0, (d, m)
+    sub_d = d // m
+    books = _pq_codebooks(m, n_codes, sub_d) if codebooks is None else np.asarray(codebooks, float)
+    half_norms = 0.5 * (books * books).sum(axis=2)  # exact: sums of int^2 / 2
+    bc = spark.sparkContext.broadcast((books, half_norms))
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        books_, hn = bc.value
+        m_, n_codes_, sd = books_.shape
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        out = np.empty((len(x), m_), dtype=np.int32)
+        for j in range(m_):
+            xs = x[:, j * sd:(j + 1) * sd]
+            s = np.zeros((len(x), n_codes_))
+            for i in range(sd):  # sequential adds == SQL's `+` chain
+                s = s + xs[:, i:i + 1] * books_[j, :, i][None, :]
+            s = s - hn[j][None, :]
+            out[:, j] = np.argmax(s, axis=1)  # first max == lower code
+        return pd.Series([row.tolist() for row in out])
+
+    # deterministic value; the mark only stops Catalyst duplicating the UDF
+    enc_nd = enc.asNondeterministic()
+    return embeddings.select(
+        F.col(id_col), enc_nd(F.col(vec_col)).alias("codes")
+    )
+
+
+def _pq_sub_score_sql(j: int, c: int, sub_d: int, vec_expr: str,
+                      with_half_norm: bool) -> str:
+    """Dot of subvector j of ``vec_expr`` with codebook entry (j, c),
+    optionally minus |c|^2/2 — zero coefficients skipped (adding an
+    exact 0.0 product never changes an IEEE sum)."""
+    terms = []
+    for i in range(sub_d):
+        coef = _pq_code_coef(j, c, i)
+        if coef == 0:
+            continue
+        terms.append(
+            f"cast({vec_expr}[{j * sub_d + i + 1}] as double) * {float(coef)}"
+        )
+    dot = "(" + (" + ".join(terms) if terms else "0.0") + ")"
+    if with_half_norm:
+        hn = 0.5 * sum(_pq_code_coef(j, c, i) ** 2 for i in range(sub_d))
+        return f"({dot} - {float(hn)})"
+    return dot
+
+
+def pq_encode_sql(table: str, m: int, n_codes: int, d: int,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Subquery emitting (id, c0..c{m-1}) with the identical assignment:
+    named score columns, greatest, first-equality argmax — the
+    ivf_centroid_sql pattern per subvector."""
+    sub_d = d // m
+    scores = ", ".join(
+        f"{_pq_sub_score_sql(j, c, sub_d, vec_col, True)} as s{j}_{c}"
+        for j in range(m) for c in range(n_codes)
+    )
+    gs = ", ".join(
+        f"greatest({', '.join(f's{j}_{c}' for c in range(n_codes))}) as g{j}"
+        for j in range(m)
+    )
+    allcols = ", ".join(
+        f"s{j}_{c}" for j in range(m) for c in range(n_codes)
+    )
+    cases = ", ".join(
+        "(case "
+        + " ".join(f"when s{j}_{c} = g{j} then {c}" for c in range(n_codes - 1))
+        + f" else {n_codes - 1} end) as c{j}"
+        for j in range(m)
+    )
+    return f"""(
+        select {id_col}, {cases}
+        from (select {id_col}, {allcols}, {gs}
+              from (select {id_col}, {scores} from {table}))
+    )"""
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    exclude_self: bool = True,
+    round_digits: int = 6,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: corpus vectors exist
+    only as PQ codes; each query precomputes an (m, n_codes) table of
+    sub-dot-products and a candidate's score is m table LOOKUPS — no
+    float vector is ever read per corpus row. Output (q_id, rank,
+    neighbor_id), ranked by approximate inner product (round(.,6) desc,
+    id asc), local top-k under the same order as the global window
+    (cosine_topk's batch-boundary rule)."""
+    spark = embeddings.sparkSession
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
+    sub_d = d // m
+    books = _pq_codebooks(m, n_codes, sub_d) if codebooks is None else np.asarray(codebooks, float)
+    enc = pq_encode(embeddings, m, n_codes, dim=d, id_col=id_col,
+                    vec_col=vec_col, codebooks=books)
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    tabs = np.zeros((len(q_ids), m, n_codes))
+    for j in range(m):
+        for i in range(sub_d):  # sequential == the SQL dot chain
+            tabs[:, j, :] = tabs[:, j, :] + (
+                q_mat[:, j * sub_d + i:j * sub_d + i + 1] * books[j, :, i][None, :]
+            )
+    bc = spark.sparkContext.broadcast((q_ids, tabs))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        ids_q, tabs_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_e = pdf[id_col].to_numpy()
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                acc = np.zeros(len(codes))
+                for j in range(tabs_.shape[1]):  # sequential == SQL `+` chain
+                    acc = acc + tabs_[qi, j, codes[:, j]]
+                key = np.round(acc, round_digits)
+                mask = np.ones(len(acc), dtype=bool)
+                if exclude_self:
+                    mask &= ids_e != ids_q[qi]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((ids_e[idx], -key[idx]))
+                top = idx[order[: min(k, len(idx))]]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_n.extend(ids_e[top].tolist())
+                out_s.extend(key[top].tolist())
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "score": out_s})
+
+    from pyspark.sql import Window
+
+    local = enc.mapInPandas(adc, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id")
+    )
