@@ -416,6 +416,55 @@ def _sql_spatial_parcels(sf_dir):
     """
 
 
+def _q_spatial_parcel_assign(spark, sf_dir):
+    """Nearest-parcel membership for a second point set (north_star
+    'H3-kNN for nearest-parcel queries'): events map to the Voronoi cell
+    of the nearest image anchor WITHIN their block — two-phase exact
+    (global kRing kNN fast path, in-block fallback only for the border
+    sliver; see knn.parcel_assign)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon, lat = synth.lonlat_cols(F.col("event_id"))
+    pts = ev.withColumn("lon", lon).withColumn("lat", lat)
+    pts = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    img = _img_points(spark, sf_dir)
+    idnum = synth.image_id_num(F.col("image_id"))
+    anch = assign.assign_points_to_blocks(
+        img.filter(idnum % 5 == 0), _grid_cover(spark), PIP_RES
+    ).select(
+        F.col("image_id").alias("anchor_id"),
+        "block_id",
+        F.col("lon").alias("ax"),
+        F.col("lat").alias("ay"),
+    )
+    out = knn.parcel_assign(pts, anch, KNN_RES, point_id="event_id")
+    return out.select(
+        "event_id", "block_id", "anchor_id",
+        F.round("nn_dist", 9).alias("dist_r9"),
+    )
+
+
+def _sql_spatial_parcel_assign(sf_dir):
+    elon, elat = synth.lonlat_sql("event_id")
+    ilon, ilat = synth.lonlat_sql("cast(substring(image_id, 5, 9) as bigint)")
+    d2 = "(p.lon - a.ax) * (p.lon - a.ax) + (p.lat - a.ay) * (p.lat - a.ay)"
+    return f"""
+        with pts as (select event_id, {elon} as lon, {elat} as lat from events),
+        p as (select event_id, lon, lat, {_grid_block_sql()} as block_id from pts),
+        ipts as (select image_id, {ilon} as lon, {ilat} as lat
+                 from read_parquet('{images_parquet_path(sf_dir)}')
+                 where cast(substring(image_id, 5, 9) as bigint) % 5 = 0),
+        a as (select image_id as anchor_id, lon as ax, lat as ay,
+                     {_grid_block_sql()} as block_id from ipts)
+        select event_id, block_id, anchor_id, round(sqrt(d2), 9) as dist_r9
+        from (
+          select p.event_id, p.block_id, a.anchor_id, {d2} as d2,
+                 row_number() over (partition by p.event_id
+                                    order by {d2} asc, a.anchor_id asc) as rn
+          from p join a using (block_id)
+        ) where rn = 1
+    """
+
+
 FOOT_PTDIST = 0.001
 FOOT_SAMPLE = 5  # every 5th image gets a footprint (bounds anchor count)
 
@@ -2002,6 +2051,7 @@ REGISTRY: dict[str, tuple] = {
     "spatial_cell_assign": (_q_spatial_cell_assign, _sql_spatial_cell_assign),
     "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),
     "spatial_knn": (_q_spatial_knn, _sql_spatial_knn),
+    "spatial_parcel_assign": (_q_spatial_parcel_assign, _sql_spatial_parcel_assign),
     "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
     "spatial_block_extract": (_q_spatial_block_extract, _sql_spatial_block_extract),
     "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration

@@ -68,19 +68,99 @@ def knn_join(
     pts = points.select(pid, lon_col, lat_col)
     d2 = _dist2(F.col(lon_col), F.col(lat_col), F.col("tx"), F.col("ty"))
 
+    # tie-break: equidistant targets resolve to the LOWER target id (the
+    # struct orders field-wise), matching SQL's `order by d2, target_id`
+    order_key = F.struct(d2.alias("d"), F.col(target_id).alias("t"))
+
     cand = pts.withColumn(
         "__cell",
         F.explode(cells.kring_cells(F.col(lon_col), F.col(lat_col), res, ring)),
     ).join(tgt, F.col("__cell") == F.col("__tcell"), "inner")
     best = cand.groupBy(pid).agg(
-        F.min_by(F.col(target_id), d2).alias(target_id),
+        F.min_by(F.col(target_id), order_key).alias(target_id),
         F.sqrt(F.min(d2)).alias("nn_dist"),
     )
     sure = best.filter(F.col("nn_dist") <= F.lit(ring * cell_h))
 
     unresolved = pts.join(sure.select(pid), on=pid, how="left_anti")
     brute = unresolved.crossJoin(tgt.drop("__tcell")).groupBy(pid).agg(
-        F.min_by(F.col(target_id), d2).alias(target_id),
+        F.min_by(F.col(target_id), order_key).alias(target_id),
         F.sqrt(F.min(d2)).alias("nn_dist"),
     )
     return points.join(sure.unionByName(brute), on=pid)
+
+
+def parcel_assign(
+    points: DataFrame,
+    anchors: DataFrame,
+    res: int,
+    point_id: str,
+    anchor_id: str = "anchor_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_anchors: bool = True,
+) -> DataFrame:
+    """Voronoi-parcel membership for a second point set: each point's
+    parcel is the Voronoi cell of the nearest anchor WITHIN the point's
+    containing block (parcelize semantics; north_star 'H3-kNN for
+    nearest-parcel queries').
+
+    Inputs both carry ``block_id``: ``points`` (id, block_id, lon, lat),
+    ``anchors`` (anchor_id, block_id, ax, ay). Output: (point columns...,
+    anchor_id, nn_dist).
+
+    Two-phase EXACT plan (a naive per-block points x anchors join is
+    quadratic in the hot urban block — the skew trap):
+
+    1. fast path: global exact NN via knn_join (kRing candidates + ring
+       guarantee); ACCEPT a winner whose block matches the point's —
+       the bulk, since a cross-block global winner needs the point
+       within anchor-spacing distance of a block border;
+    2. fallback: only the border-sliver residue joins its OWN block's
+       anchors (bounded by per-block anchor count) with the same
+       deterministic (dist², anchor_id) argmin.
+
+    Both phases and the SQL oracle share one total order, so ties are
+    engine-independent."""
+    pts = points.select(point_id, "block_id", lon_col, lat_col)
+    tgt = anchors.select(
+        F.col(anchor_id).alias("__aid"),
+        F.col("block_id").alias("__ablock"),
+        F.col("ax").alias("tx"),
+        F.col("ay").alias("ty"),
+    )
+    nn = knn_join(
+        pts,
+        tgt.select("__aid", "tx", "ty"),
+        res,
+        point_id=point_id,
+        target_id="__aid",
+        lon_col=lon_col,
+        lat_col=lat_col,
+        broadcast_targets=broadcast_anchors,
+    )
+    ablocks = tgt.select("__aid", "__ablock")
+    if broadcast_anchors:
+        ablocks = F.broadcast(ablocks)
+    nn = nn.join(ablocks, "__aid")
+    sure = nn.filter(F.col("__ablock") == F.col("block_id")).select(
+        point_id, F.col("__aid").alias(anchor_id), "nn_dist"
+    )
+
+    resid = pts.join(sure.select(point_id), point_id, "left_anti")
+    a = anchors.select(
+        F.col(anchor_id).alias("__aid"), "block_id", "ax", "ay"
+    )
+    if broadcast_anchors:
+        a = F.broadcast(a)
+    d2 = _dist2(F.col(lon_col), F.col(lat_col), F.col("ax"), F.col("ay"))
+    order_key = F.struct(d2.alias("d"), F.col("__aid").alias("t"))
+    fb = (
+        resid.join(a, "block_id")
+        .groupBy(point_id)
+        .agg(
+            F.min_by(F.col("__aid"), order_key).alias(anchor_id),
+            F.sqrt(F.min(d2)).alias("nn_dist"),
+        )
+    )
+    return points.join(sure.unionByName(fb), point_id)

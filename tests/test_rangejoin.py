@@ -72,3 +72,38 @@ def test_classify_threshold(spark):
     assert (near.road_dist <= 0.005).all()
     assert (far.road_dist > 0.005).all()
     assert len(near) > 0 and len(far) > 0
+
+
+def test_parcel_assign_border_fallback_and_ties(spark):
+    """parcel_assign: a point whose GLOBAL nearest anchor sits across the
+    block border must fall back to its own block's anchors (exact
+    in-block argmin), and equidistant in-block anchors resolve to the
+    lower anchor id on every path."""
+    import pandas as pd
+
+    from prclz_spark.operators import knn as knn_op
+
+    # two blocks side by side; point P in block L at x=0.9 — global NN is
+    # anchor R0 in block R (x=1.1, d=0.2) but its parcel owner is L's
+    # nearest anchor (x=0.5, d=0.4)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": [1, 2],
+        "block_id": ["L", "L"],
+        "lon": [0.9, 0.5],
+        "lat": [10.5, 10.5],
+    }))
+    anchors = spark.createDataFrame(pd.DataFrame({
+        "anchor_id": ["a_mid", "a_far", "r0", "z_mid"],
+        "block_id": ["L", "L", "R", "L"],
+        "ax": [0.5, 0.1, 1.1, 0.5],
+        "ay": [10.5, 10.5, 10.5, 10.5],
+    }))
+    out = (
+        knn_op.parcel_assign(pts, anchors, 12, point_id="pid")
+        .toPandas().set_index("pid")
+    )
+    # P1: global NN r0 is out-of-block -> fallback -> a_mid (0.4 < 0.8)
+    assert out.loc[1, "anchor_id"] == "a_mid"
+    assert abs(out.loc[1, "nn_dist"] - 0.4) < 1e-12
+    # P2 sits ON a_mid == z_mid position: tie resolves to lower id
+    assert out.loc[2, "anchor_id"] == "a_mid"
