@@ -436,7 +436,10 @@ def _q_spatial_parcel_assign(spark, sf_dir):
         F.col("lon").alias("ax"),
         F.col("lat").alias("ay"),
     )
-    out = knn.parcel_assign(pts, anch, KNN_RES, point_id="event_id")
+    # [17, 14] cascade: fine cells resolve the dense hotspot, coarse the
+    # sparse region (see knn_join's skew note — one coarse level costs a
+    # 45M-row candidate join on this fixture)
+    out = knn.parcel_assign(pts, anch, [17, KNN_RES], point_id="event_id")
     return out.select(
         "event_id", "block_id", "anchor_id",
         F.round("nn_dist", 9).alias("dist_r9"),
