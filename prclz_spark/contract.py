@@ -425,11 +425,12 @@ def _q_spatial_parcel_assign(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id")
     lon, lat = synth.lonlat_cols(F.col("event_id"))
     pts = ev.withColumn("lon", lon).withColumn("lat", lat)
-    pts = assign.assign_points_to_blocks(pts, _grid_cover(spark), PIP_RES)
+    cover = _grid_cover(spark)
+    pts = assign.assign_points_to_blocks(pts, cover, PIP_RES)
     img = _img_points(spark, sf_dir)
     idnum = synth.image_id_num(F.col("image_id"))
     anch = assign.assign_points_to_blocks(
-        img.filter(idnum % 5 == 0), _grid_cover(spark), PIP_RES
+        img.filter(idnum % 5 == 0), cover, PIP_RES
     ).select(
         F.col("image_id").alias("anchor_id"),
         "block_id",

@@ -10,16 +10,17 @@ nearest-parcel queries"):
 2. each point explodes to its kRing(r) cells and equi-joins the index;
 3. per point, ``min_by(distance)`` picks the winner;
 4. points whose winner is not provably exact within ring r (the analog of
-   the reference's x2 buffer growth) fall through to one brute-force pass
-   against the (broadcast) target table — a single linear plan instead of
-   an iterative anti-join chain, so no branch is recomputed at action time.
+   the reference's x2 buffer growth) fall through to the next (coarser)
+   resolution level, and the final residue to one brute-force pass.
 
 Guarantee: a ring-r winner is only accepted when its distance <= r * cell
 edge (otherwise a nearer target could hide in ring r+1) — this makes the
-result exact, not approximate.
+result exact, not approximate, at every cascade level.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +30,52 @@ from ..functions import cells
 
 def _dist2(px, py, tx, ty):
     return (px - tx) * (px - tx) + (py - ty) * (py - ty)
+
+
+def _cascade(
+    points_narrow: DataFrame,
+    pid: str,
+    levels: list[int],
+    ring: int,
+    make_candidates: Callable[[DataFrame, int], DataFrame],
+    make_brute: Callable[[DataFrame], DataFrame],
+    argmin: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Shared EXACT multi-resolution NN cascade (one copy of every
+    correctness-bearing invariant — accept threshold, anti-join chain,
+    union order — for knn_join and parcel_assign).
+
+    Fine -> coarse levels are the distributed analog of the reference's
+    buffer doubling AND the skew defense: with one coarse level, a dense
+    urban hotspot (30% of points and targets in 1.5% of area) explodes
+    the candidate join quadratically (measured 45.6M candidate rows for
+    100k points / 4k anchors at res 14; a [17, 14] cascade cuts that
+    ~50x). A level ACCEPTS winners whose distance <= ring * cell height
+    (any unseen target lies outside the kRing, hence farther), so every
+    cascade is exact; survivors fall through, the residue goes brute.
+
+    Per-level winner frames are lazily localCheckpoint-ed: each feeds
+    three consumers (accept filter, anti-join, final union) and would
+    otherwise re-execute the candidate join and the caller's upstream
+    plan per consumer (measured 2.4x wall on the bench parcel-assign).
+    """
+    remaining = points_narrow
+    resolved: list[DataFrame] = []
+    for r in levels:
+        # guarantee radius in degrees: a ring-k winner is exact when its
+        # distance <= k * (lat cell height) — the tightest escape distance
+        # out of the (2k+1)^2 block (lon cells are 2x wider: conservative)
+        cell_h = 180.0 / (1 << r)
+        best = argmin(make_candidates(remaining, r)).localCheckpoint(eager=False)
+        accept = best.filter(F.col("nn_dist") <= F.lit(ring * cell_h))
+        resolved.append(accept)
+        remaining = remaining.join(
+            accept.select(pid), on=pid, how="left_anti"
+        ).localCheckpoint(eager=False)
+    out = argmin(make_brute(remaining))
+    for s in resolved:
+        out = s.unionByName(out)
+    return out
 
 
 def knn_join(
@@ -45,73 +92,49 @@ def knn_join(
     """Nearest ``targets`` row (tx, ty) for every ``points`` row.
 
     Output: (point columns..., target_id, nn_dist). Exact nearest
-    neighbor (see module docstring): each resolution level runs one
-    kRing(``ring``) candidate pass and ACCEPTS winners whose distance
-    the ring provably bounds; survivors fall to the next level, and the
-    final residue to a brute-force pass against the broadcast targets.
-
-    ``res`` may be a LIST of levels, fine -> coarse — the distributed
-    analog of the reference's buffer doubling (BUF_RATE=2,
-    i_topology.py:377-434) and the skew defense: with one coarse level,
-    a dense urban hotspot (30% of points and targets in 1.5% of area)
-    explodes the candidate join quadratically (measured 45.6M candidate
-    rows for 100k points / 4k anchors at res 14; a [17, 14] cascade
-    resolves the hotspot in the fine cells first and cuts candidates
-    ~50x). Exactness is per-level, so any cascade is exact.
+    neighbor via the _cascade helper; ``res`` may be a fine -> coarse
+    level list (see _cascade's skew note).
 
     ``point_id``: a unique key column in ``points`` (defaults to the
     first column); grouping happens on it alone and the remaining point
-    columns are re-attached with one join at the end. Per-level winner
-    frames are lazily localCheckpoint-ed: each feeds three consumers
-    (accept filter, anti-join, final union) and would otherwise
-    re-execute the candidate join and the caller's upstream plan per
-    consumer (measured 2.4x wall on the bench parcel-assign).
+    columns are re-attached with one join at the end.
     """
     pid = point_id or points.columns[0]
     levels = list(res) if isinstance(res, (list, tuple)) else [res]
+    # the caller's upstream plan feeds the level-1 candidate join AND the
+    # final re-attach — truncate once so it executes once
+    points = points.localCheckpoint(eager=False)
 
     d2 = _dist2(F.col(lon_col), F.col(lat_col), F.col("tx"), F.col("ty"))
     # tie-break: equidistant targets resolve to the LOWER target id (the
     # struct orders field-wise), matching SQL's `order by d2, target_id`
     order_key = F.struct(d2.alias("d"), F.col(target_id).alias("t"))
 
-    def _argmin(cand):
+    def argmin(cand: DataFrame) -> DataFrame:
         return cand.groupBy(pid).agg(
             F.min_by(F.col(target_id), order_key).alias(target_id),
             F.sqrt(F.min(d2)).alias("nn_dist"),
         )
 
-    remaining = points.select(pid, lon_col, lat_col)
-    resolved: list[DataFrame] = []
-    for r in levels:
-        # guarantee radius in degrees: a ring-k winner is exact when its
-        # distance <= k * (lat cell height) — the tightest escape distance
-        # out of the (2k+1)^2 block (lon cells are 2x wider: conservative)
-        cell_h = 180.0 / (1 << r)
+    def make_candidates(remaining: DataFrame, r: int) -> DataFrame:
         tgt_r = targets.withColumn(
             "__tcell", cells.cell_id(F.col("tx"), F.col("ty"), r)
         )
         if broadcast_targets:
             tgt_r = F.broadcast(tgt_r)
-        cand = remaining.withColumn(
+        return remaining.withColumn(
             "__cell",
             F.explode(cells.kring_cells(F.col(lon_col), F.col(lat_col), r, ring)),
         ).join(tgt_r, F.col("__cell") == F.col("__tcell"), "inner")
-        best = _argmin(cand).localCheckpoint(eager=False)
-        resolved.append(best.filter(F.col("nn_dist") <= F.lit(ring * cell_h)))
-        remaining = remaining.join(
-            best.filter(F.col("nn_dist") <= F.lit(ring * cell_h)).select(pid),
-            on=pid,
-            how="left_anti",
-        ).localCheckpoint(eager=False)
 
-    tgt_all = targets
-    if broadcast_targets:
-        tgt_all = F.broadcast(tgt_all)
-    brute = _argmin(remaining.crossJoin(tgt_all))
-    out = brute
-    for s in resolved:
-        out = s.unionByName(out)
+    def make_brute(remaining: DataFrame) -> DataFrame:
+        tgt_all = F.broadcast(targets) if broadcast_targets else targets
+        return remaining.crossJoin(tgt_all)
+
+    out = _cascade(
+        points.select(pid, lon_col, lat_col),
+        pid, levels, ring, make_candidates, make_brute, argmin,
+    )
     return points.join(out, on=pid)
 
 
@@ -134,19 +157,11 @@ def parcel_assign(
     ``anchors`` (anchor_id, block_id, ax, ay). Output: (point columns...,
     anchor_id, nn_dist).
 
-    EXACT multi-resolution cascade, constrained to the block from the
-    start (a naive per-block points x anchors join is quadratic in the
-    hot urban block — the skew trap):
-
-    - per level r: points explode to kRing(1) cells at r and equi-join
-      the anchors' (block, cell) index; a winner is ACCEPTED when its
-      distance <= cell height at r (any unseen in-block anchor lies
-      outside the ring, hence farther — the same escape-distance
-      guarantee as knn_join, unaffected by the block constraint);
-    - pass ``res=[fine, coarse]`` so dense-hotspot points resolve in
-      fine cells (bounded candidates) and sparse points in coarse ones;
-    - the residue joins its own block's anchors (bounded per block).
-
+    Same _cascade as knn_join, but the candidate join is constrained to
+    the block from the start — the escape-distance guarantee is
+    unaffected by the block constraint (any unseen IN-BLOCK anchor lies
+    outside the kRing, hence farther), and the residue joins only its
+    own block's anchors (bounded per block) rather than the full table.
     All paths and the SQL oracle share one (dist², anchor_id) total
     order, so ties are engine-independent."""
     levels = list(res) if isinstance(res, (list, tuple)) else [res]
@@ -163,20 +178,19 @@ def parcel_assign(
         "ay",
     )
 
-    def _argmin(cand):
+    def argmin(cand: DataFrame) -> DataFrame:
         return cand.groupBy(point_id).agg(
             F.min_by(F.col("__aid"), order_key).alias(anchor_id),
             F.sqrt(F.min(d2)).alias("nn_dist"),
         )
 
-    remaining = points.select(point_id, "block_id", lon_col, lat_col)
-    resolved: list[DataFrame] = []
-    for r in levels:
-        cell_h = 180.0 / (1 << r)
-        a_r = a_base.withColumn("__acell", cells.cell_id(F.col("ax"), F.col("ay"), r))
+    def make_candidates(remaining: DataFrame, r: int) -> DataFrame:
+        a_r = a_base.withColumn(
+            "__acell", cells.cell_id(F.col("ax"), F.col("ay"), r)
+        )
         if broadcast_anchors:
             a_r = F.broadcast(a_r)
-        cand = remaining.withColumn(
+        return remaining.withColumn(
             "__cell",
             F.explode(cells.kring_cells(F.col(lon_col), F.col(lat_col), r, 1)),
         ).join(
@@ -185,21 +199,15 @@ def parcel_assign(
             & (F.col("block_id") == F.col("__ablock")),
             "inner",
         )
-        best = _argmin(cand).localCheckpoint(eager=False)
-        resolved.append(best.filter(F.col("nn_dist") <= F.lit(cell_h)))
-        remaining = remaining.join(
-            best.filter(F.col("nn_dist") <= F.lit(cell_h)).select(point_id),
-            point_id,
-            "left_anti",
-        ).localCheckpoint(eager=False)
 
-    a_all = a_base
-    if broadcast_anchors:
-        a_all = F.broadcast(a_all)
-    brute = _argmin(
-        remaining.join(a_all, F.col("block_id") == F.col("__ablock"), "inner")
+    def make_brute(remaining: DataFrame) -> DataFrame:
+        a_all = F.broadcast(a_base) if broadcast_anchors else a_base
+        return remaining.join(
+            a_all, F.col("block_id") == F.col("__ablock"), "inner"
+        )
+
+    out = _cascade(
+        points.select(point_id, "block_id", lon_col, lat_col),
+        point_id, levels, 1, make_candidates, make_brute, argmin,
     )
-    out = brute
-    for s in resolved:
-        out = s.unionByName(out)
     return points.join(out, point_id)

@@ -693,8 +693,15 @@ def pq_train(
         cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
         if k < n_codes:
             cent = np.vstack([cent] * (n_codes // k + 1))[:n_codes]
+        xs_sq = (xs * xs).sum(axis=1)
         for _ in range(n_iter):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # GEMM form (|x|^2 - 2 x.c + |c|^2), like ivf_train — the
+            # broadcast-subtract temporary is sample*n_codes*sub_d floats
+            d2 = (
+                xs_sq[:, None]
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
             a = np.argmin(d2, axis=1)
             worst = iter(np.argsort(-d2[np.arange(len(xs)), a]))
             for c in range(n_codes):
@@ -870,14 +877,18 @@ def pq_topk(
                 top = idx[order[: min(k, len(idx))]]
                 out_q.extend([ids_q[qi]] * len(top))
                 out_n.extend(ids_e[top].tolist())
-                out_s.extend(key[top].tolist())
+                # emit the RAW score; the global window re-rounds with
+                # F.round (HALF_UP, = DuckDB round) — np.round is
+                # half-to-even and at an exact half-integer*1e-6 would
+                # rank differently than the oracle (cosine_topk's rule)
+                out_s.extend(acc[top].tolist())
             yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "score": out_s})
 
     from pyspark.sql import Window
 
     local = enc.mapInPandas(adc, schema)
     w = Window.partitionBy("q_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+        F.round(F.col("score"), round_digits).desc(), F.col("neighbor_id").asc()
     )
     return (
         local.withColumn("rank", F.row_number().over(w))

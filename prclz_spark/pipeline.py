@@ -225,12 +225,20 @@ def run_pipeline(
     ):
         computed[MANIFEST_TABLE] = 0
     else:
-        # reuse stage 1's committed assign output — caption and phash are
-        # pure Column arithmetic of image_id, so the PIP join (the
-        # pipeline's most expensive stage) never runs twice
-        img = _caption_phash_cols(assigned)
+        # reuse stage 1's committed assign output for the manifest ROWS —
+        # caption and phash are pure Column arithmetic of image_id, so
+        # the PIP join (the pipeline's most expensive stage) never runs
+        # twice. The keep-list corpus, however, is the FULL image set
+        # (image_rows), not the assigned subset: a cluster whose min-id
+        # keeper fell outside every block must still elect that keeper,
+        # or is_keep flips for its in-block members (the keep-list is a
+        # global corpus property — same reason this stage is atomic).
         mf = curation_op.training_manifest(
-            img, cover, res, idnum=F.col("image_id"), assigned=img
+            image_rows(spark, n_images),
+            cover,
+            res,
+            idnum=F.col("image_id"),
+            assigned=_caption_phash_cols(assigned),
         )
         # partition by block_id like every other stage: high-cardinality
         # parallel writes that co-locate with the spatial tables (a
