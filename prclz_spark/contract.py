@@ -109,6 +109,26 @@ def _img_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.withColumn("lon", lon).withColumn("lat", lat).drop("idnum")
 
 
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _phash_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep-list per corpus snapshot: img_phash_clusters and
+    img_training_manifest share the identical phash-cluster result, and
+    the alternating-star CC loop is the registry's only iterative
+    (multi-job) stage — running it twice doubles the driver round-trips
+    for no new information. The cached frame is eagerly
+    localCheckpoint-ed so every consumer reads materialized partitions
+    instead of replaying the loop (same all-or-nothing semantics as the
+    pipeline's keep-list lineage stage)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = dedup.phash_clusters(
+            _images(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _CLUSTERS_CACHE[key]
+
+
 def _img_points_sql(sf_dir: str) -> str:
     lon, lat = synth.lonlat_sql("cast(substring(image_id, 5, 9) as bigint)")
     return (
@@ -1808,12 +1828,26 @@ def _sql_img_phash_dedup(sf_dir):
     return dedup.phash_near_dup_sql(images_parquet_path(sf_dir))
 
 
+def _q_img_phash_dedup_capped(spark, sf_dir):
+    """Hot-bucket guard exercised: max_bucket_reps=2 forces nearly every
+    band bucket through the chunk-pair decomposition (per-bucket
+    B = ceil(bn/2) hash chunks, pairs meet under exactly one
+    (band, bv, ci, cj) key). The guard is EXACT — a plan change only —
+    so this query shares the UNCAPPED oracle: hash-equality here is the
+    driver-visible proof that chunking loses no pair."""
+    return dedup.phash_near_dup(_images(spark, sf_dir), max_bucket_reps=2)
+
+
+def _sql_img_phash_dedup_capped(sf_dir):
+    return dedup.phash_near_dup_sql(images_parquet_path(sf_dir))
+
+
 def _q_img_phash_clusters(spark, sf_dir):
     """Near-dup pairs → alternating-star connected components → every
     image mapped to its cluster root (min image_id of the component,
     expanded back through exact-dup groups); is_keep marks the one
     canonical copy per cluster."""
-    return dedup.phash_clusters(_images(spark, sf_dir))
+    return _phash_clusters_cached(spark, sf_dir)
 
 
 def _sql_img_phash_clusters(sf_dir):
@@ -2012,6 +2046,7 @@ def _q_img_training_manifest(spark, sf_dir):
         PIP_RES,
         idnum=synth.image_id_num(F.col("image_id")),
         min_quality=0.2,
+        clusters=_phash_clusters_cached(spark, sf_dir),
     )
 
 
@@ -2051,6 +2086,34 @@ def _sql_img_training_manifest(sf_dir):
 # ===========================================================================
 
 REGISTRY: dict[str, tuple] = {
+    # NOTE on ordering: the driver's correctness run has historically been
+    # time/count-capped (CORRECTNESS_r03 stopped at 50/62), so queries that
+    # have never received a driver row run FIRST — the multimodal +
+    # curation block below predates the long-established spatial tail.
+    # multimodal (S4, F26-F29)
+    "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
+    "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
+    "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
+    "img_resize_stats": (_q_img_resize_stats, _sql_img_resize_stats),
+    "img_frame_sample": (_q_img_frame_sample, _sql_img_frame_sample),
+    "img_phash_dedup": (_q_img_phash_dedup, _sql_img_phash_dedup),
+    "img_phash_dedup_capped": (
+        _q_img_phash_dedup_capped,
+        _sql_img_phash_dedup_capped,
+    ),
+    "img_phash_clusters": (_q_img_phash_clusters, _sql_img_phash_clusters),
+    "img_incremental_dedup": (
+        _q_img_incremental_dedup,
+        _sql_img_incremental_dedup,
+    ),
+    # curation: deterministic splits + the end-to-end training manifest
+    "img_split_assign": (_q_img_split_assign, _sql_img_split_assign),
+    "img_block_cap": (_q_img_block_cap, _sql_img_block_cap),
+    "txt_pack_shards": (_q_txt_pack_shards, _sql_txt_pack_shards),
+    "img_training_manifest": (
+        _q_img_training_manifest,
+        _sql_img_training_manifest,
+    ),
     # spatial operators (SURVEY.md §2.3 J1/J10, §2.7 F26-F27)
     "spatial_cell_assign": (_q_spatial_cell_assign, _sql_spatial_cell_assign),
     "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),
@@ -2106,26 +2169,6 @@ REGISTRY: dict[str, tuple] = {
     "emb_ivf_recall": (_q_emb_ivf_recall, _sql_emb_ivf_recall),
     "emb_pq_codes": (_q_emb_pq_codes, _sql_emb_pq_codes),
     "emb_pq_topk": (_q_emb_pq_topk, _sql_emb_pq_topk),
-    # multimodal
-    "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
-    "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
-    "img_payload_fidelity": (_q_img_payload_fidelity, _sql_img_payload_fidelity),
-    "img_resize_stats": (_q_img_resize_stats, _sql_img_resize_stats),
-    "img_frame_sample": (_q_img_frame_sample, _sql_img_frame_sample),
-    "img_phash_dedup": (_q_img_phash_dedup, _sql_img_phash_dedup),
-    "img_phash_clusters": (_q_img_phash_clusters, _sql_img_phash_clusters),
-    "img_incremental_dedup": (
-        _q_img_incremental_dedup,
-        _sql_img_incremental_dedup,
-    ),
-    # curation: deterministic splits + the end-to-end training manifest
-    "img_split_assign": (_q_img_split_assign, _sql_img_split_assign),
-    "img_block_cap": (_q_img_block_cap, _sql_img_block_cap),
-    "txt_pack_shards": (_q_txt_pack_shards, _sql_txt_pack_shards),
-    "img_training_manifest": (
-        _q_img_training_manifest,
-        _sql_img_training_manifest,
-    ),
 }
 
 

@@ -121,6 +121,7 @@ def training_manifest(
     weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
     n_buckets: int = 10_000,
     assigned: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """One manifest row per image: containing block, dedup cluster root +
     keep flag, caption quality / language / BPE piece count, split, and
@@ -132,7 +133,10 @@ def training_manifest(
     Pass ``assigned`` (same row shape plus block_id) to reuse an already-
     committed assign table instead of re-running the PIP join — the
     pipeline's stage 5 does, so the most expensive stage never runs
-    twice; ``cover``/``res`` are ignored then.
+    twice; ``cover``/``res`` are ignored then. Pass ``clusters`` (the
+    (id, cluster_root, is_keep) frame from dedup.phash_clusters) to
+    reuse an already-computed keep-list — the iterative CC loop is the
+    other stage worth computing exactly once per corpus snapshot.
     """
     if assigned is None:
         assigned = assign.assign_points_to_blocks(
@@ -153,7 +157,11 @@ def training_manifest(
         bucket.alias("split_bucket"),
         split_label(bucket, weights, n_buckets).alias("split"),
     )
-    keep = dedup.phash_clusters(img, id_col, phash_col)
+    keep = (
+        clusters
+        if clusters is not None
+        else dedup.phash_clusters(img, id_col, phash_col)
+    )
     return wide.join(keep, id_col).select(
         id_col,
         "block_id",

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 PHASH_BANDS = 4
 PHASH_MAX_HAMMING = 2  # < PHASH_BANDS ⇒ banding is exact (pigeonhole)
+PHASH_BUCKET_CAP = 4096  # chunk hot band-buckets above this many reps
 
 
 def phash_near_dup(
@@ -47,6 +48,7 @@ def phash_near_dup(
     bands: int = PHASH_BANDS,
     phash_col: str = "phash",
     id_col: str = "image_id",
+    max_bucket_reps: int | None = PHASH_BUCKET_CAP,
 ) -> DataFrame:
     """(id_a, id_b, hamming, n_a, n_b): near-duplicate image pairs by
     phash Hamming distance, between exact-duplicate GROUPS (id_a/id_b are
@@ -55,7 +57,24 @@ def phash_near_dup(
     Plan: one hash aggregation collapses identical phashes; each distinct
     hash emits ``bands`` (band, 16-bit value) rows via ``stack`` (one
     Generate, no array explode); an equi-join on (band, value) yields
-    candidates; ``bit_count(xor)`` verifies — all JVM-side codegen."""
+    candidates; ``bit_count(xor)`` verifies — all JVM-side codegen.
+
+    Hot-bucket guard (``max_bucket_reps``): with 4 bands there are only
+    65,536 distinct 16-bit band values, so at 10⁹+ distinct phashes an
+    average bucket holds ~15k reps and a bare self-join materializes
+    ~10⁸ candidate rows in ONE shuffle key per hot bucket. The guard is
+    EXACT, never approximate — it changes only the plan shape: every
+    bucket is split into ``B = ceil(bucket_n / max_bucket_reps)`` hash
+    chunks and each rep is replicated to its B unordered chunk-pair keys
+    (the same cogroup decomposition as similarity.near_dup_pairs), so a
+    pair (a, b) meets under exactly one (band, bv, ci, cj) key and every
+    within-bucket pair is still examined. Per-key rows are ≤
+    2·max_bucket_reps and per-key join output ≤ max_bucket_reps² — hub
+    buckets cost fan-out spread over B(B+1)/2 keys, never a straggler
+    task. Cold buckets get B = 1 and degenerate to the plain equi-join.
+    The bucket-count side table is ≤ bands·2¹⁶ rows by construction, so
+    it is always broadcast — the guard adds no extra Exchange of the
+    banded frame. ``max_bucket_reps=None`` restores the unguarded join."""
     width = 64 // bands
     mask = (1 << width) - 1
     g = img.groupBy(phash_col).agg(
@@ -70,11 +89,57 @@ def phash_near_dup(
         F.col(phash_col).alias("ph"),
         F.expr(f"stack({bands}, {stack_args}) as (band, bv)"),
     )
+    if max_bucket_reps is None:
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "bv"])
+            .where(F.col("a.rep") < F.col("b.rep"))
+        )
+    else:
+        cnt = banded.groupBy("band", "bv").agg(F.count("*").alias("bn"))
+        keyed = (
+            banded.join(F.broadcast(cnt), ["band", "bv"])
+            .withColumn(
+                "nb",
+                F.ceil(F.col("bn") / F.lit(max_bucket_reps)).cast("int"),
+            )
+            .withColumn("c", F.pmod(F.xxhash64("rep"), F.col("nb")).cast("int"))
+            .select(
+                "band",
+                "bv",
+                "rep",
+                "n",
+                "ph",
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, nb - 1), k ->"
+                        " named_struct('ci', least(c, cast(k as int)),"
+                        " 'cj', greatest(c, cast(k as int))))"
+                    )
+                ).alias("ck"),
+            )
+            .select(
+                "band", "bv", "rep", "n", "ph", "c",
+                F.col("ck.ci").alias("ci"), F.col("ck.cj").alias("cj"),
+            )
+        )
+        # a pair with chunks (ca, cb) meets under exactly the key
+        # (min(ca,cb), max(ca,cb)); the chunk-role filter drops the
+        # replicated co-occurrences under every other shared key
+        cand = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), ["band", "bv", "ci", "cj"])
+            .where(
+                (F.col("a.rep") < F.col("b.rep"))
+                & (
+                    ((F.col("a.c") == F.col("ci")) & (F.col("b.c") == F.col("cj")))
+                    | ((F.col("a.c") == F.col("cj")) & (F.col("b.c") == F.col("ci")))
+                )
+            )
+        )
     return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bv"])
-        .where(F.col("a.rep") < F.col("b.rep"))
-        .select(
+        cand.select(
             F.col("a.rep").alias("id_a"),
             F.col("b.rep").alias("id_b"),
             F.col("a.ph").alias("pa"),
@@ -283,7 +348,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # large-star: every neighbor v > u links to min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
@@ -306,6 +371,12 @@ def connected_components(
         )
         out2 = mins2.select("u", F.col("m").alias("v"))
         e = out1.union(out2).distinct().localCheckpoint(eager=True)
+        # convergence probe every 2nd round: each probe is a driver
+        # round-trip on top of the checkpoint job, and the star algorithm
+        # only ever needs ~log n rounds — checking on odd rounds halves
+        # the driver chatter for at most one extra (cheap, stable) round
+        if it % 2 == 0 and it + 1 < max_iter:
+            continue
         sig = e.agg(
             F.count("*").alias("n"),
             # decimal sum: ANSI mode would raise on long overflow

@@ -90,6 +90,40 @@ def test_phash_band_join_is_exact_for_small_hamming(spark):
     assert got == want
 
 
+def test_phash_hot_bucket_cap_is_exact(spark):
+    """The chunk-pair hot-bucket guard changes only the plan, never the
+    result: a randomized corpus with a deliberately HOT band bucket
+    (hundreds of hashes sharing band 0's 16-bit value) must produce the
+    identical pair set at every cap, including cap=1 (every multi-rep
+    bucket chunked, per-bucket B = bucket_n)."""
+    rng = np.random.default_rng(7)
+    hashes = list(rng.integers(0, 2**63, size=60, dtype=np.int64))
+    # hot bucket: 200 hashes identical in band 0 (low 16 bits), random above
+    hot_low = 0x1234
+    for _ in range(200):
+        hashes.append(
+            np.int64((int(rng.integers(0, 2**47)) << 16) | hot_low)
+        )
+    # planted near-dups inside the hot bucket (hamming 1-2 in high bits)
+    for i in range(10):
+        h = int(hashes[60 + i])
+        h ^= 1 << int(rng.integers(17, 64))
+        hashes.append(np.int64(h))
+    rows = [(f"img_{i:04d}", int(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b, r.hamming, r.n_a, r.n_b)
+            for r in dedup.phash_near_dup(df, max_bucket_reps=cap).collect()
+        }
+
+    want = pairs(None)  # the unguarded join is the ground truth
+    assert len(want) >= 10  # planted hot-bucket near-dups found
+    for cap in (1, 3, 50):
+        assert pairs(cap) == want, f"cap={cap} diverged from uncapped"
+
+
 def test_cluster_assign_keeps_one_per_cluster(spark):
     items = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     pairs = spark.createDataFrame(
