@@ -1442,19 +1442,27 @@ def _q_emb_pq_topk(spark, sf_dir):
     )
 
 
-def _sql_emb_pq_topk(sf_dir):
-    enc = similarity.pq_encode_sql("embeddings", _PQ_M, _PQ_CODES, _EMB_DIM)
-    sub_d = _EMB_DIM // _PQ_M
-    lookups = " + ".join(
+def _adc_lookups_sql(m, n_codes, qv_expr, books=None, enc_alias="e"):
+    """The ADC score of one candidate as SQL: per-subvector CASE lookup
+    into the (query × codebook) sub-dot products — the literal mirror of
+    pq_topk's m-table-lookups-per-candidate."""
+    sub_d = _EMB_DIM // m
+    return " + ".join(
         "(case "
         + " ".join(
-            f"when e.c{j} = {c} then "
-            + similarity._pq_sub_score_sql(j, c, sub_d, "q.qv", False)
-            for c in range(_PQ_CODES)
+            f"when {enc_alias}.c{j} = {c} then "
+            + similarity._pq_sub_score_sql(j, c, sub_d, qv_expr, False, books)
+            for c in range(n_codes)
         )
         + " else 0.0 end)"
-        for j in range(_PQ_M)
+        for j in range(m)
     )
+
+
+def _pq_topk_sql(m, n_codes, k=5, books=None):
+    enc = similarity.pq_encode_sql("embeddings", m, n_codes, _EMB_DIM,
+                                   books=books)
+    lookups = _adc_lookups_sql(m, n_codes, "q.qv", books)
     return f"""
         with enc as (select * from {enc}),
         qs as (select vec_id as q_id, embedding as qv
@@ -1465,8 +1473,12 @@ def _sql_emb_pq_topk(sf_dir):
                                     order by round({lookups}, 6) desc,
                                              e.vec_id asc) as rank
           from qs q cross join enc e
-          where e.vec_id <> q.q_id) where rank <= 5
+          where e.vec_id <> q.q_id) where rank <= {k}
     """
+
+
+def _sql_emb_pq_topk(sf_dir):
+    return _pq_topk_sql(_PQ_M, _PQ_CODES)
 
 
 def _q_emb_near_dup_lsh(spark, sf_dir):
@@ -1574,25 +1586,16 @@ def _sql_emb_ivf_topk(sf_dir):
     """
 
 
-def _q_emb_ivf_recall(spark, sf_dir):
-    """ANN quality instrumentation: recall@5 of the IVF index against the
-    exact brute-force top-5, per query vector — the measured-recall gate
+def _recall_vs_brute(e, q, approx) -> DataFrame:
+    """(q_id, n_hits, recall_at_5): per-query recall of an approximate
+    top-5 against the exact brute-force top-5 — the measured-recall gate
     a production ANN rollout needs (approximate indexes without a recall
-    eval are unfalsifiable). Both rankings are the engine's own
-    operators; the oracle composes their two already-verified SQL
-    mirrors, so a recall disagreement isolates to the join/count."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    ivf = similarity.ivf_topk(
-        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, dim=_EMB_DIM
-    )
+    eval are unfalsifiable)."""
     brute = similarity.cosine_topk(e, q, k=5)
     hits = (
         brute.select("q_id", "neighbor_id")
         .join(
-            ivf.select("q_id", "neighbor_id"),
+            approx.select("q_id", "neighbor_id"),
             ["q_id", "neighbor_id"],
             "left_semi",
         )
@@ -1611,14 +1614,16 @@ def _q_emb_ivf_recall(spark, sf_dir):
     )
 
 
-def _sql_emb_ivf_recall(sf_dir):
+def _recall_sql(sf_dir, approx_sql) -> str:
+    """Oracle mirror of _recall_vs_brute, composing two already-verified
+    SQL mirrors so a recall disagreement isolates to the join/count."""
     return f"""
-        with ivf as ({_sql_emb_ivf_topk(sf_dir)}),
+        with approx as ({approx_sql}),
         brute as ({_sql_emb_topk(sf_dir)}),
         hits as (
           select b.q_id, cast(count(*) as bigint) as n_hits
-          from brute b join ivf i
-            on b.q_id = i.q_id and b.neighbor_id = i.neighbor_id
+          from brute b join approx a
+            on b.q_id = a.q_id and b.neighbor_id = a.neighbor_id
           group by 1
         ),
         qs as (select vec_id as q_id from embeddings where vec_id < 10)
@@ -1627,6 +1632,207 @@ def _sql_emb_ivf_recall(sf_dir):
                round(cast(coalesce(h.n_hits, 0) as bigint) / 5.0, 6) as recall_at_5
         from qs q left join hits h using (q_id)
     """
+
+
+def _q_emb_ivf_recall(spark, sf_dir):
+    """Measured recall@5 of the IVF index vs exact brute force — both
+    rankings are the engine's own operators (see _recall_vs_brute)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ivf = similarity.ivf_topk(
+        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, dim=_EMB_DIM
+    )
+    return _recall_vs_brute(e, q, ivf)
+
+
+def _sql_emb_ivf_recall(sf_dir):
+    return _recall_sql(sf_dir, _sql_emb_ivf_topk(sf_dir))
+
+
+_PQ96_M = 16  # the 96-bit operating point: 16 subvectors x 6-bit codes
+_PQ96_CODES = 64
+_PQ192_M = 32  # the 192-bit point: where ADC in-cell ranking matches exact
+_PQ192_CODES = 64
+_PQ_BOOKS_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _pq_trained_books(
+    sf_dir: str, m: int, n_codes: int, normalized: bool = False
+) -> np.ndarray:
+    """Trained PQ codebooks reproducible WITHOUT a SparkSession: load the
+    same ordered sample DuckDB sees and run the deterministic numpy
+    k-means body (similarity.pq_train_np). oracle_sql() has no Spark, so
+    trained-codebook queries are oracled by injecting these books as SQL
+    literals — tests pin that similarity.pq_train through Spark yields
+    the bit-identical matrix. ``normalized``: train on unit-normalized
+    rows (the cosine-metric operating point; the books are shared
+    constants on both sides, so the trainer's norm arithmetic needs no
+    oracle mirror — only the ENCODED vectors do)."""
+    key = (sf_dir, m, n_codes, normalized)
+    if key not in _PQ_BOOKS_CACHE:
+        import duckdb
+
+        pdf = duckdb.sql(
+            f"select embedding from read_parquet('{sf_dir}/embeddings.parquet')"
+            " order by vec_id limit 65536"
+        ).df()
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        if normalized:
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+        _PQ_BOOKS_CACHE[key] = similarity.pq_train_np(
+            x, m=m, n_codes=n_codes, dim=_EMB_DIM
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
+def _q_emb_pq_recall(spark, sf_dir):
+    """Measured recall@5 of trained-codebook ADC at the 96-bit operating
+    point (m=16 × 64 codes) vs exact brute force — the driver-green twin
+    of the pytest recall ladder. Training is deterministic (ordered
+    sample, seeded k-means), so the oracle replays the SAME books as SQL
+    literals; the recall gate (mean ≥ 0.5 at 96 bits) is pinned in
+    tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    books = _pq_trained_books(sf_dir, _PQ96_M, _PQ96_CODES)
+    pq = similarity.pq_topk(
+        e, q, k=5, m=_PQ96_M, n_codes=_PQ96_CODES, dim=_EMB_DIM,
+        codebooks=books,
+    )
+    return _recall_vs_brute(e, q, pq)
+
+
+def _sql_emb_pq_recall(sf_dir):
+    books = _pq_trained_books(sf_dir, _PQ96_M, _PQ96_CODES)
+    return _recall_sql(
+        sf_dir, _pq_topk_sql(_PQ96_M, _PQ96_CODES, books=books)
+    )
+
+
+def _ivfpq_cand_sql(n_centroids, n_probe):
+    """Shared probe-prune CTE chain (cent, qs, qscore, probes, cand) —
+    the SQL mirror of the coarse IVF stage of ivfpq_topk."""
+    cent_subq = similarity.ivf_centroid_sql("embeddings", n_centroids, _EMB_DIM)
+
+    def dot_with(c):
+        terms = []
+        for i in range(_EMB_DIM):
+            coef = similarity._ivf_centroid_coef(c, i)
+            if coef == 0:
+                continue
+            terms.append(f"cast(qv[{i + 1}] as double) * {float(coef)}")
+        return "(" + (" + ".join(terms) if terms else "0.0") + ")"
+
+    qscore_rows = "\n          union all\n          ".join(
+        f"select q_id, qv, {c} as centroid, {dot_with(c)} as s from qs"
+        for c in range(n_centroids)
+    )
+    return f"""cent as (select * from {cent_subq}),
+        qs as (select vec_id as q_id, embedding as qv from embeddings where vec_id < 10),
+        qscore as (
+          {qscore_rows}
+        ),
+        probes as (
+          select q_id, qv, centroid from (
+            select q_id, qv, centroid,
+                   row_number() over (partition by q_id order by s desc, centroid asc) as pr
+            from qscore) where pr <= {n_probe}
+        ),
+        cand as (
+          select p.q_id, p.qv, c.vec_id
+          from probes p join cent c using (centroid)
+          where c.vec_id <> p.q_id
+        )"""
+
+
+def _ivfpq_topk_sql(m, n_codes, k=5, books=None):
+    enc = similarity.pq_encode_sql("embeddings", m, n_codes, _EMB_DIM,
+                                   books=books)
+    lookups = _adc_lookups_sql(m, n_codes, "cand.qv", books)
+    return f"""
+        with {_ivfpq_cand_sql(_IVF_CENTROIDS, _IVF_PROBE)},
+        enc as (select * from {enc})
+        select q_id, rank, neighbor_id from (
+          select cand.q_id, cand.vec_id as neighbor_id,
+                 row_number() over (partition by cand.q_id
+                                    order by round({lookups}, 6) desc,
+                                             cand.vec_id asc) as rank
+          from cand join enc e on cand.vec_id = e.vec_id) where rank <= {k}
+    """
+
+
+def _q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (similarity.ivfpq_topk): coarse probe prune +
+    ADC scoring within the probed lists only — one corpus pass tags
+    (centroid, codes), the probe table broadcasts, candidates carry m
+    small ints each. The standard full-ANN shape for 10^12-row
+    retrieval; the oracle replays both stages' codebook arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivfpq_topk(
+        e, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        m=_PQ_M, n_codes=_PQ_CODES, dim=_EMB_DIM,
+    )
+
+
+def _sql_emb_ivfpq_topk(sf_dir):
+    return _ivfpq_topk_sql(_PQ_M, _PQ_CODES)
+
+
+def _q_emb_ivfpq_recall(spark, sf_dir):
+    """Measured recall@5 of IVF-PQ at the same probe budget as
+    emb_ivf_recall, with TRAINED 96-bit codebooks over UNIT-NORMALIZED
+    vectors (the cosine-metric encode: ADC then approximates |q|·cosine,
+    so the in-cell ranking tracks IVF-alone's exact cosine instead of a
+    raw inner product) at the 192-bit point, where measured in-cell ADC
+    ranking matches exact cosine on this near-random fixture (96-bit
+    measured 0.10 below — random unit vectors are PQ's worst case; real
+    clustered embeddings reach parity at fewer bits).
+    Coarse centroid still assigned on the RAW vector
+    — positive scaling never changes the argmax, so the candidate set is
+    identical to IVF-alone's and a recall gap isolates to quantization.
+    The pytest twin pins ivfpq ≥ ivf-alone; this row makes the measured
+    values driver-visible."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    en = similarity.normalize_unit(e, "embedding", out_col="nemb")
+    books = _pq_trained_books(sf_dir, _PQ192_M, _PQ192_CODES, normalized=True)
+    ivfpq = similarity.ivfpq_topk(
+        en, q, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        m=_PQ192_M, n_codes=_PQ192_CODES, dim=_EMB_DIM, codebooks=books,
+        encode_col="nemb",
+    )
+    return _recall_vs_brute(e, q, ivfpq)
+
+
+def _sql_emb_ivfpq_recall(sf_dir):
+    books = _pq_trained_books(sf_dir, _PQ192_M, _PQ192_CODES, normalized=True)
+    normed = similarity.normalize_unit_sql("embeddings", _EMB_DIM)
+    enc = similarity.pq_encode_sql(
+        normed, _PQ192_M, _PQ192_CODES, _EMB_DIM, vec_col="nemb", books=books
+    )
+    lookups = _adc_lookups_sql(_PQ192_M, _PQ192_CODES, "cand.qv", books)
+    approx = f"""
+        with {_ivfpq_cand_sql(_IVF_CENTROIDS, _IVF_PROBE)},
+        enc as (select * from {enc})
+        select q_id, rank, neighbor_id from (
+          select cand.q_id, cand.vec_id as neighbor_id,
+                 row_number() over (partition by cand.q_id
+                                    order by round({lookups}, 6) desc,
+                                             cand.vec_id asc) as rank
+          from cand join enc e on cand.vec_id = e.vec_id) where rank <= 5
+    """
+    return _recall_sql(sf_dir, approx)
 
 
 def _q_emb_lsh_buckets(spark, sf_dir):
@@ -2114,6 +2320,10 @@ REGISTRY: dict[str, tuple] = {
         _q_img_training_manifest,
         _sql_img_training_manifest,
     ),
+    # new in r4 (never driver-checked): PQ/IVF-PQ recall gates
+    "emb_pq_recall": (_q_emb_pq_recall, _sql_emb_pq_recall),
+    "emb_ivfpq_topk": (_q_emb_ivfpq_topk, _sql_emb_ivfpq_topk),
+    "emb_ivfpq_recall": (_q_emb_ivfpq_recall, _sql_emb_ivfpq_recall),
     # spatial operators (SURVEY.md §2.3 J1/J10, §2.7 F26-F27)
     "spatial_cell_assign": (_q_spatial_cell_assign, _sql_spatial_cell_assign),
     "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),

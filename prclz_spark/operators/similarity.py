@@ -40,7 +40,24 @@ __all__ = [
     "ivf_centroid",
     "ivf_centroid_sql",
     "ivf_topk",
+    "ivfpq_topk",
+    "pq_train",
+    "pq_train_np",
+    "pq_encode",
+    "pq_encode_sql",
+    "pq_topk",
 ]
+
+
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half AWAY FROM ZERO at ``digits`` decimals — the rounding
+    Spark's F.round and DuckDB's round() apply. np.round is half-to-even
+    and at an exact half-ulp-of-1e-6 tie would order two candidates
+    differently than the oracle's global window, so a batch-LOCAL top-k
+    prune keyed by np.round could drop a candidate the global order keeps
+    (output would then depend on Arrow batch boundaries)."""
+    p = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -95,8 +112,12 @@ def cosine_topk(
             # window (round(sim, d) desc, neighbor_id asc) — selecting by
             # raw float could drop a candidate that rounds equal to the
             # k-th but carries a lower id, making output depend on Arrow
-            # batch boundaries
-            sims_key = np.round(sims, round_digits) if round_digits is not None else sims
+            # batch boundaries; HALF_UP to match F.round/DuckDB exactly
+            sims_key = (
+                _round_half_up(sims, round_digits)
+                if round_digits is not None
+                else sims
+            )
             out_q, out_n, out_s = [], [], []
             for j in range(len(ids_q)):
                 col = sims[:, j]
@@ -682,6 +703,22 @@ def pq_train(
         .toPandas()
     )
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return pq_train_np(x, m=m, n_codes=n_codes, dim=dim, n_iter=n_iter, seed=seed)
+
+
+def pq_train_np(
+    x: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    n_iter: int = 12,
+    seed: int = 13,
+) -> np.ndarray:
+    """The numpy k-means body of ``pq_train``, factored out so an oracle
+    generator can reproduce the exact codebooks from the same sample rows
+    WITHOUT a SparkSession (load the parquet, order by id, call this) —
+    the training procedure is deterministic, so trained-codebook queries
+    stay DuckDB-oracleable by injecting the books as SQL literals."""
     d = dim if dim is not None else x.shape[1]
     assert d % m == 0, (d, m)
     sd = d // m
@@ -735,7 +772,19 @@ def pq_encode(
     assert d % m == 0, (d, m)
     sub_d = d // m
     books = _pq_codebooks(m, n_codes, sub_d) if codebooks is None else np.asarray(codebooks, float)
-    half_norms = 0.5 * (books * books).sum(axis=2)  # exact: sums of int^2 / 2
+    enc_nd = _pq_encode_udf(spark, books)
+    return embeddings.select(
+        F.col(id_col), enc_nd(F.col(vec_col)).alias("codes")
+    )
+
+
+def _pq_encode_udf(spark, books: np.ndarray):
+    """Arrow-batched PQ encoder against task-broadcast codebooks —
+    factored out so composed operators (ivfpq_topk) can tag codes inline
+    next to the coarse centroid in ONE corpus pass. See pq_encode for
+    the IEEE determinism contract with the SQL oracle."""
+    books = np.asarray(books, float)
+    half_norms = 0.5 * (books * books).sum(axis=2)  # matches the SQL literal
     bc = spark.sparkContext.broadcast((books, half_norms))
 
     @F.pandas_udf("array<int>")
@@ -754,40 +803,52 @@ def pq_encode(
         return pd.Series([row.tolist() for row in out])
 
     # deterministic value; the mark only stops Catalyst duplicating the UDF
-    enc_nd = enc.asNondeterministic()
-    return embeddings.select(
-        F.col(id_col), enc_nd(F.col(vec_col)).alias("codes")
-    )
+    return enc.asNondeterministic()
 
 
 def _pq_sub_score_sql(j: int, c: int, sub_d: int, vec_expr: str,
-                      with_half_norm: bool) -> str:
+                      with_half_norm: bool,
+                      books: np.ndarray | None = None) -> str:
     """Dot of subvector j of ``vec_expr`` with codebook entry (j, c),
     optionally minus |c|^2/2 — zero coefficients skipped (adding an
-    exact 0.0 product never changes an IEEE sum)."""
+    exact 0.0 product never changes an IEEE sum). ``books``: trained
+    codebooks injected as double literals (repr round-trips exactly);
+    the half-norm literal is then computed with the SAME numpy pairwise
+    sum the engine broadcasts, so a last-ulp difference cannot flip an
+    argmax near a tie."""
     terms = []
     for i in range(sub_d):
-        coef = _pq_code_coef(j, c, i)
-        if coef == 0:
+        coef = (
+            float(books[j, c, i]) if books is not None
+            else float(_pq_code_coef(j, c, i))
+        )
+        if coef == 0.0:
             continue
         terms.append(
-            f"cast({vec_expr}[{j * sub_d + i + 1}] as double) * {float(coef)}"
+            f"cast({vec_expr}[{j * sub_d + i + 1}] as double) * {coef!r}"
         )
     dot = "(" + (" + ".join(terms) if terms else "0.0") + ")"
     if with_half_norm:
-        hn = 0.5 * sum(_pq_code_coef(j, c, i) ** 2 for i in range(sub_d))
-        return f"({dot} - {float(hn)})"
+        if books is not None:
+            hn = float(0.5 * (books[j, c] * books[j, c]).sum())
+        else:
+            hn = float(
+                0.5 * sum(_pq_code_coef(j, c, i) ** 2 for i in range(sub_d))
+            )
+        return f"({dot} - {hn!r})"
     return dot
 
 
 def pq_encode_sql(table: str, m: int, n_codes: int, d: int,
-                  vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  books: np.ndarray | None = None) -> str:
     """Subquery emitting (id, c0..c{m-1}) with the identical assignment:
     named score columns, greatest, first-equality argmax — the
-    ivf_centroid_sql pattern per subvector."""
+    ivf_centroid_sql pattern per subvector. ``books``: trained codebooks
+    as literals (default: the fixed LCG books)."""
     sub_d = d // m
     scores = ", ".join(
-        f"{_pq_sub_score_sql(j, c, sub_d, vec_col, True)} as s{j}_{c}"
+        f"{_pq_sub_score_sql(j, c, sub_d, vec_col, True, books)} as s{j}_{c}"
         for j in range(m) for c in range(n_codes)
     )
     gs = ", ".join(
@@ -808,6 +869,72 @@ def pq_encode_sql(table: str, m: int, n_codes: int, d: int,
         from (select {id_col}, {allcols}, {gs}
               from (select {id_col}, {scores} from {table}))
     )"""
+
+
+def normalize_unit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "nemb",
+) -> DataFrame:
+    """Append ``out_col`` = unit-normalized ``vec_col`` (array<double>).
+    Cosine-metric PQ encodes NORMALIZED vectors (ADC then approximates
+    |q|·cosine, whose per-query constant scale never changes a ranking);
+    encoding raw vectors makes ADC approximate raw inner product and
+    costs recall against a cosine ground truth.
+
+    Oracle bit-exactness: the squared norm is a SEQUENTIAL left fold
+    (F.aggregate) — identical IEEE value to an ANSI-SQL left-associated
+    `+` chain (the 0.0 seed is exact: 0.0 + x² == x² for every x² ≥ 0) —
+    and sqrt/divide are single IEEE ops, so the normalized doubles match
+    DuckDB's to the last bit and the downstream encode argmax cannot
+    diverge. The norm materializes as a real column between the two HOF
+    stages (the lambda re-evaluation trap)."""
+    n2 = F.aggregate(
+        vec_col,
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    with_n = df.select("*", F.sqrt(n2).alias("__nrm"))
+    return with_n.select(
+        *df.columns,
+        F.transform(
+            vec_col, lambda x: x.cast("double") / F.col("__nrm")
+        ).alias(out_col),
+    )
+
+
+def normalize_unit_sql(
+    table: str,
+    d: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "nemb",
+) -> str:
+    """DuckDB mirror of normalize_unit (same `+` chain, same single-op
+    sqrt/divide)."""
+    chain = " + ".join(
+        f"cast({vec_col}[{i + 1}] as double) * cast({vec_col}[{i + 1}] as double)"
+        for i in range(d)
+    )
+    return (
+        f"(select {id_col}, list_transform({vec_col},"
+        f" x -> cast(x as double) / sqrt({chain})) as {out_col}"
+        f" from {table})"
+    )
+
+
+def _adc_tables(q_mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, m, n_codes) ADC lookup tables: sub-dot-products of
+    each query with every codebook entry, accumulated SEQUENTIALLY over
+    the subvector index to match the SQL oracle's `+` chain."""
+    m, n_codes, sub_d = books.shape
+    tabs = np.zeros((len(q_mat), m, n_codes))
+    for j in range(m):
+        for i in range(sub_d):  # sequential == the SQL dot chain
+            tabs[:, j, :] = tabs[:, j, :] + (
+                q_mat[:, j * sub_d + i:j * sub_d + i + 1] * books[j, :, i][None, :]
+            )
+    return tabs
 
 
 def pq_topk(
@@ -838,12 +965,7 @@ def pq_topk(
     enc = pq_encode(embeddings, m, n_codes, dim=d, id_col=id_col,
                     vec_col=vec_col, codebooks=books)
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
-    tabs = np.zeros((len(q_ids), m, n_codes))
-    for j in range(m):
-        for i in range(sub_d):  # sequential == the SQL dot chain
-            tabs[:, j, :] = tabs[:, j, :] + (
-                q_mat[:, j * sub_d + i:j * sub_d + i + 1] * books[j, :, i][None, :]
-            )
+    tabs = _adc_tables(q_mat, books)
     bc = spark.sparkContext.broadcast((q_ids, tabs))
 
     schema = T.StructType(
@@ -866,7 +988,7 @@ def pq_topk(
                 acc = np.zeros(len(codes))
                 for j in range(tabs_.shape[1]):  # sequential == SQL `+` chain
                     acc = acc + tabs_[qi, j, codes[:, j]]
-                key = np.round(acc, round_digits)
+                key = _round_half_up(acc, round_digits)
                 mask = np.ones(len(acc), dtype=bool)
                 if exclude_self:
                     mask &= ids_e != ids_q[qi]
@@ -887,6 +1009,134 @@ def pq_topk(
     from pyspark.sql import Window
 
     local = enc.mapInPandas(adc, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("score"), round_digits).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    exclude_self: bool = True,
+    round_digits: int = 6,
+    codebook: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    encode_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the standard full-ANN shape for 10^12-row
+    retrieval: the coarse IVF probe prune (ivf_topk's centroid equi-join,
+    cutting the scan to ~n_probe/n_centroids of the corpus) feeds ADC
+    scoring (pq_topk's m-table-lookups-per-candidate, no float vector
+    ever read per corpus row) WITHIN the probed lists only.
+
+    Plan shape: one corpus pass tags each row with (centroid, codes) in
+    a single Arrow stage; the tiny (q_id, centroid) probe table
+    broadcasts; surviving candidates carry only id + m small ints into
+    the batch-local ADC top-k; the global window ranks
+    num_partitions * k rows per query. Output (q_id, rank, neighbor_id)
+    under the identical total order as pq_topk (round(score, d) desc,
+    id asc; batch-local prune keyed HALF_UP to match).
+
+    ``codebook``/``codebooks``: trained coarse/PQ books (defaults: the
+    fixed LCG books — the SQL-oracle mode)."""
+    spark = embeddings.sparkSession
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
+    assert d % m == 0, (d, m)
+    coarse = (
+        _codebook(n_centroids, d) if codebook is None
+        else np.asarray(codebook, float)
+    )
+    books = (
+        _pq_codebooks(m, n_codes, d // m) if codebooks is None
+        else np.asarray(codebooks, float)
+    )
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    probes = np.argsort(
+        -(q_mat @ coarse.T), axis=1, kind="stable"
+    )[:, :n_probe]
+    probe_rows = [
+        {"q_id": int(q_ids[i]), "centroid": int(c)}
+        for i in range(len(q_ids))
+        for c in probes[i]
+    ]
+    probe_df = F.broadcast(spark.createDataFrame(pd.DataFrame(probe_rows)))
+
+    # centroid AND codes tagged inline in one corpus pass (ivf_topk's
+    # never-self-join rule); only the probe table broadcasts
+    cent = _centroid_udf(spark, coarse)
+    enc = _pq_encode_udf(spark, books)
+    tagged = embeddings.select(
+        F.col(id_col),
+        cent(F.col(vec_col)).alias("centroid"),
+        # codes may encode a different column than the coarse quantizer
+        # reads (cosine-metric PQ: centroid on raw, codes on normalized —
+        # positive per-row scaling never changes the centroid argmax, so
+        # the candidate set stays identical to IVF-alone's)
+        enc(F.col(encode_col if encode_col is not None else vec_col)).alias("codes"),
+    )
+    cand = tagged.join(probe_df, on="centroid")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("q_id"))
+    cand = cand.select("q_id", id_col, "codes")
+
+    tabs = _adc_tables(q_mat, books)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((qpos, tabs))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        qpos_, tabs_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("q_id"):
+                qi = qpos_[int(qid)]
+                ids_e = grp[id_col].to_numpy()
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in grp["codes"]]
+                )
+                acc = np.zeros(len(codes))
+                for j in range(tabs_.shape[1]):  # sequential == SQL `+` chain
+                    acc = acc + tabs_[qi, j, codes[:, j]]
+                key = _round_half_up(acc, round_digits)
+                order = np.lexsort((ids_e, -key))
+                top = order[: min(k, len(order))]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": int(qid),
+                            "neighbor_id": ids_e[top],
+                            # raw score; the global window re-rounds HALF_UP
+                            "score": acc[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = cand.mapInPandas(adc, schema)
     w = Window.partitionBy("q_id").orderBy(
         F.round(F.col("score"), round_digits).desc(), F.col("neighbor_id").asc()
     )
