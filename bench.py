@@ -170,6 +170,21 @@ def main() -> None:
         "warm_runs": warm_runs,
         "mp_pool_ceiling_4to16": machine_ceiling_4to16(),
     }
+    # self-describing noise guard: when the box's own mp.Pool 4->16 strong
+    # scaling is < 0.75, background load is stealing cores and per-query
+    # times inflate ~2-3x (the r3 driver run recorded ceiling 0.712 and ran
+    # ~2.5x over quiet-box re-measures) — cross-round comparisons should
+    # weight such runs accordingly
+    result["noisy"] = result["mp_pool_ceiling_4to16"] < 0.75
+    if result["noisy"]:
+        print(
+            "# WARNING: machine ceiling {:.3f} < 0.75 — box is loaded; "
+            "re-run on an otherwise idle machine before comparing "
+            "per-query times across rounds".format(
+                result["mp_pool_ceiling_4to16"]
+            ),
+            file=sys.stderr,
+        )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
     )

@@ -59,6 +59,14 @@ def _cascade(
     otherwise re-execute the candidate join and the caller's upstream
     plan per consumer (measured 2.4x wall on the bench parcel-assign).
     """
+    # fine -> coarse is load-bearing for the skew defense: [14, 17] stays
+    # EXACT (every level's accept is ring-guaranteed) but runs the coarse
+    # hotspot join first — silently reintroducing the quadratic candidate
+    # explosion the cascade exists to kill. Fail loudly instead.
+    assert all(0 <= r <= cells.MAX_RES for r in levels), levels
+    assert list(levels) == sorted(levels, reverse=True) and len(
+        set(levels)
+    ) == len(levels), f"cascade levels must be strictly fine->coarse: {levels}"
     remaining = points_narrow
     resolved: list[DataFrame] = []
     for r in levels:
