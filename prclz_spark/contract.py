@@ -2158,6 +2158,47 @@ def _sql_img_incremental_dedup(sf_dir):
     """
 
 
+def _q_img_stream_dedup(spark, sf_dir):
+    """Streaming incremental phash dedup — the production shape of daily
+    ingest against a committed keeper corpus: availableNow drain of the
+    images landing dir → per-batch incremental_phash_dedup against the
+    TableStore's committed keepers → one atomic snapshot per batch with
+    an idempotent-replay lineage marker (stream_phash_dedup_ingest).
+    State (store + checkpoint) persists under data/ per fixture, so a
+    re-invocation is an exactly-once RESUME: the drain finds nothing new,
+    commits nothing, and the committed table re-reads identically — the
+    driver exercising this query twice is itself the resume test. The
+    fixture arrives as one file ⇒ one batch against an empty corpus,
+    which equals the batch phash_clusters result (the oracle)."""
+    from .sources.tablestore import TableStore
+    from .streaming.incremental import stream_phash_dedup_ingest
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_DATA_DIR, f"stream_phash_v1_{sfname}")
+    os.makedirs(root, exist_ok=True)
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    link = os.path.join(landing, "part-0.parquet")
+    target = ensure_images(sf_dir)
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+    store = TableStore(os.path.join(root, "store"))
+    stream_phash_dedup_ingest(
+        spark, landing, store, "dedup", os.path.join(root, "ckpt")
+    )
+    return store.read(spark, "dedup").select(
+        "image_id", "cluster_root", "is_keep"
+    )
+
+
+def _sql_img_stream_dedup(sf_dir):
+    return dedup.phash_clusters_sql(images_parquet_path(sf_dir))
+
+
 def _q_img_split_assign(spark, sf_dir):
     """Deterministic train/val/test split: Knuth multiplicative hash mod
     a prime, pure bigint arithmetic on both engines (curation.py) —
@@ -2347,7 +2388,8 @@ REGISTRY: dict[str, tuple] = {
         _q_img_training_manifest,
         _sql_img_training_manifest,
     ),
-    # new in r4 (never driver-checked): PQ/IVF-PQ recall gates
+    # new in r4 (never driver-checked)
+    "img_stream_dedup": (_q_img_stream_dedup, _sql_img_stream_dedup),
     "emb_pq_recall": (_q_emb_pq_recall, _sql_emb_pq_recall),
     "emb_ivfpq_topk": (_q_emb_ivfpq_topk, _sql_emb_ivfpq_topk),
     "emb_ivfpq_recall": (_q_emb_ivfpq_recall, _sql_emb_ivfpq_recall),
