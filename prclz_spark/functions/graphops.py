@@ -153,8 +153,17 @@ class PlanarGraph:
 
     def trace_faces(self) -> list[list[Coord]]:
         """Inner faces as vertex cycles (SAGE algorithm, topology.py:419-458).
-        The outer (sphere) face — the one with the most edges — is dropped.
-        Deterministic: directed edges are consumed in insertion order."""
+        Deterministic: directed edges are consumed in insertion order.
+
+        Outer-face drop: by ORIENTATION, not the reference's max-edge-count
+        heuristic (topology.py:448-451). Under this embedding's rotation
+        (counterclockwise neighbor order) every bounded face traces with
+        positive shoelace area and each component's unbounded walk traces
+        negative — whereas an inner face can easily carry MORE edges than
+        the convex outer walk (a square with an 8-chord arc inside:
+        complement face = 12 edges, outer = 6; the edge-count rule dropped
+        the complement and kept the full square as a phantom block —
+        caught by tests/test_buffered_difference.py's curved family)."""
         if self.number_of_nodes() < 2:
             return []
         embedding = self._embedding()
@@ -184,10 +193,16 @@ class PlanarGraph:
         if face:
             faces.append(face)
 
-        # drop outer face = max edge count (topology.py:448-451); stable
-        # sort keeps insertion order among ties, matching sorted(key=len)
-        facelist = sorted(faces, key=len)
-        inner = facelist[:-1]
+        # keep positively-oriented walks only (bounded faces); each
+        # component's outer walk comes out negative, degenerate collinear
+        # walks come out zero — both dropped
+        inner = []
+        for f in faces:
+            sa = 0.0
+            for (ux, uy), (vx, vy) in f:
+                sa += ux * vy - vx * uy
+            if sa > 0.0:
+                inner.append(f)
         return [[e[0] for e in f] for f in inner]
 
     # -- weak dual (topology.py:483-502) ----------------------------------

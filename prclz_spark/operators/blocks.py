@@ -81,6 +81,31 @@ def node_segments(segs: np.ndarray) -> list[tuple[tuple, tuple]]:
     return out
 
 
+def _prune_dangling(
+    edges: list[tuple[tuple, tuple]]
+) -> list[tuple[tuple, tuple]]:
+    """Iteratively drop edges with a degree-1 endpoint: dead-end road
+    spurs bound no face — without the prune the face trace walks a spur
+    out-and-back and emits it as a degenerate zero-area 'block'
+    (tests/test_buffered_difference.py caught phantom blocks on the
+    dead-end family). The reference's buffered difference agrees: a spur
+    only notches its enclosing block, it never splits one
+    (/root/reference/prclz/blocks/methods.py:35-40). Every edge lying on
+    a cycle survives, so real faces are untouched."""
+    from collections import Counter
+
+    edges = list(edges)
+    while True:
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        kept = [e for e in edges if deg[e[0]] > 1 and deg[e[1]] > 1]
+        if len(kept) == len(edges):
+            return edges
+        edges = kept
+
+
 def polygonize_lines(lines: list[np.ndarray], region_ring: np.ndarray | None = None
                      ) -> list[np.ndarray]:
     """Faces of the arrangement of ``lines``, optionally restricted to
@@ -96,6 +121,9 @@ def polygonize_lines(lines: list[np.ndarray], region_ring: np.ndarray | None = N
     if not segs:
         return []
     noded = node_segments(np.asarray(segs))
+    noded = _prune_dangling(noded)
+    if not noded:
+        return []
     g = PlanarGraph()
     for u, v in noded:
         g.add_edge(u, v)
