@@ -547,6 +547,91 @@ def _sql_spatial_parcels_footprint(sf_dir):
     """
 
 
+def _mesh_fixture(spark):
+    """(parcels, points) for the ANALYTIC Steiner fixture: every block
+    carries an exact hand-built 3×3 sub-square mesh (no Voronoi — point
+    ties at sub-square centers made parcelize-derived meshes
+    tie-break-dependent), with the single interior point offset
+    DOWN by 0.2h and sideways by δ_b = ((b%5)−2)·0.075·h, so the snap
+    target (bottom edge, distance 0.3h < 0.35h ≤ side distances) and the
+    shortest path to the zero-weight boundary are both unambiguous:
+    new_len = (0.5 − |δ_b|)·h (along the split bottom edge to the nearer
+    corner) + h (down the vertical) = (1.5 − |δ_b|)·h. Pure Column
+    arithmetic; the closed form is what the SQL oracle states."""
+    h = STEP / 3.0
+    base = spark.range(0, GRID_G * GRID_G)
+    b = F.col("id")
+    gx = (b % GRID_G).cast("double")
+    gy = (b / GRID_G).cast("long").cast("double")
+    x0 = F.lit(synth.AOI_LON0) + gx * F.lit(STEP)
+    y0 = F.lit(synth.AOI_LAT0) + gy * F.lit(STEP)
+    blk = base.select(
+        F.concat(F.lit("city_"), b.cast("string")).alias("block_id"),
+        b.alias("b"), x0.alias("x0"), y0.alias("y0"),
+    )
+    cells9 = blk.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("p")
+    )
+    i = (F.col("p") % 3).cast("double")
+    j = (F.col("p") / 3).cast("long").cast("double")
+    px0 = F.col("x0") + i * F.lit(h)
+    py0 = F.col("y0") + j * F.lit(h)
+    px1 = px0 + F.lit(h)
+    py1 = py0 + F.lit(h)
+    pid = F.concat(F.lit("m"), F.col("b"), F.lit("_"), F.col("p"))
+    parcels = cells9.select(
+        "block_id",
+        pid.alias("parcel_point_id"),
+        F.array(
+            F.array(px0, py0), F.array(px1, py0), F.array(px1, py1),
+            F.array(px0, py1), F.array(px0, py0),
+        ).alias("geometry"),
+    )
+    delta = ((F.col("b") % 5).cast("double") - 2.0) * F.lit(0.075)
+    is_center = F.col("p") == 4
+    lon = F.when(
+        is_center, px0 + (F.lit(0.5) + delta) * F.lit(h)
+    ).otherwise(px0 + F.lit(0.5 * h))
+    lat = F.when(is_center, py0 + F.lit(0.3 * h)).otherwise(
+        py0 + F.lit(0.5 * h)
+    )
+    points = cells9.select(
+        "block_id", pid.alias("image_id"), lon.alias("lon"), lat.alias("lat")
+    )
+    return parcels, points
+
+
+def _q_spatial_reblock_steiner(spark, sf_dir):
+    """The Steiner-length twin with a FULL SQL oracle (the same trick
+    that oracled k-complexity via the m×m grid): on the analytic mesh
+    fixture the 2−2/t Steiner approximation degenerates to the provably
+    unique shortest path (t = 2 terminals: the snapped interior point and
+    the dummy outside terminal), so total new-road length has the closed
+    form (1.5 − |δ_b|)·h — pinning the whole distributed chain (boundary
+    -parcel terminal filter → kNN edge snap → zero-weight boundary →
+    metric-closure Steiner → chain re-expansion) to an analytic value,
+    which the rows-only spatial_reblock cannot."""
+    parcels, pts = _mesh_fixture(spark)
+    blocks_sdf = spark.createDataFrame(synth.grid_blocks(GRID_G))
+    out = reblock.reblock(parcels, pts, blocks_sdf, emit="summary")
+    return out.select(
+        "block_id", "status", "n_terminals", "n_new_edges",
+        F.round("new_len", 6).alias("new_len_r6"),
+    )
+
+
+def _sql_spatial_reblock_steiner(sf_dir):
+    h = STEP / 3.0
+    return f"""
+        select concat('city_', cast(b as varchar)) as block_id,
+               cast(0 as int) as status,
+               cast(2 as int) as n_terminals,
+               cast(2 as int) as n_new_edges,
+               round((1.5 - abs((b % 5) - 2) * 0.075) * {h!r}, 6) as new_len_r6
+        from (select unnest(range(0, {GRID_G * GRID_G})) as b)
+    """
+
+
 def _q_spatial_reblock(spark, sf_dir):
     """Steiner reblocking summary (reference entry point 3) — rows-only:
     the metric-closure MST is not SQL-expressible; pytest pins kernel
@@ -2390,6 +2475,10 @@ REGISTRY: dict[str, tuple] = {
     ),
     # new in r4 (never driver-checked)
     "img_stream_dedup": (_q_img_stream_dedup, _sql_img_stream_dedup),
+    "spatial_reblock_steiner": (
+        _q_spatial_reblock_steiner,
+        _sql_spatial_reblock_steiner,
+    ),
     "emb_pq_recall": (_q_emb_pq_recall, _sql_emb_pq_recall),
     "emb_ivfpq_topk": (_q_emb_ivfpq_topk, _sql_emb_ivfpq_topk),
     "emb_ivfpq_recall": (_q_emb_ivfpq_recall, _sql_emb_ivfpq_recall),
