@@ -150,6 +150,21 @@ def _assigned_img_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ASSIGN_CACHE[key]
 
 
+def _assigned_events_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed assign table for the events-derived point set (the
+    second corpus spatial_parcel_assign maps): same stage-commit reuse as
+    _assigned_img_cached."""
+    key = (spark.sparkContext.applicationId, sf_dir, "events")
+    if key not in _ASSIGN_CACHE:
+        ev = _t(spark, sf_dir, "events").select("event_id")
+        lon, lat = synth.lonlat_cols(F.col("event_id"))
+        pts = ev.withColumn("lon", lon).withColumn("lat", lat)
+        _ASSIGN_CACHE[key] = assign.assign_points_to_blocks(
+            pts, _grid_cover(spark), PIP_RES
+        ).localCheckpoint(eager=True)
+    return _ASSIGN_CACHE[key]
+
+
 def _assigned_grid_cached(spark: SparkSession) -> DataFrame:
     """Same stage-commit reuse for the closed-form grid fixture (shared
     by k_complexity_grid and reblock_status)."""
@@ -469,11 +484,7 @@ def _q_spatial_parcel_assign(spark, sf_dir):
     of the nearest image anchor WITHIN their block — two-phase exact
     (global kRing kNN fast path, in-block fallback only for the border
     sliver; see knn.parcel_assign)."""
-    ev = _t(spark, sf_dir, "events").select("event_id")
-    lon, lat = synth.lonlat_cols(F.col("event_id"))
-    pts = ev.withColumn("lon", lon).withColumn("lat", lat)
-    cover = _grid_cover(spark)
-    pts = assign.assign_points_to_blocks(pts, cover, PIP_RES)
+    pts = _assigned_events_cached(spark, sf_dir)
     idnum = synth.image_id_num(F.col("image_id"))
     anch = _assigned_img_cached(spark, sf_dir).filter(idnum % 5 == 0).select(
         F.col("image_id").alias("anchor_id"),

@@ -371,10 +371,13 @@ def connected_components(
         )
         out2 = mins2.select("u", F.col("m").alias("v"))
         e = out1.union(out2).distinct().localCheckpoint(eager=True)
-        # convergence probe every 2nd round: each probe is a driver
-        # round-trip on top of the checkpoint job, and the star algorithm
-        # only ever needs ~log n rounds — checking on odd rounds halves
-        # the driver chatter for at most one extra (cheap, stable) round
+        # checkpoint EVERY round (letting two rounds ride one lineage was
+        # measured 35% SLOWER at sf0.1 — the next round re-executes the
+        # prior round's two shuffles), but probe convergence every 2nd
+        # round only: the probe is a driver round-trip on top of the
+        # checkpoint job and the star algorithm needs ~log n rounds, so
+        # odd-round probing halves the chatter for at most one extra
+        # (cheap, stable) round
         if it % 2 == 0 and it + 1 < max_iter:
             continue
         sig = e.agg(
