@@ -1868,9 +1868,13 @@ def _ivfpq_cand_sql(n_centroids, n_probe):
         )"""
 
 
-def _ivfpq_topk_sql(m, n_codes, k=5, books=None):
-    enc = similarity.pq_encode_sql("embeddings", m, n_codes, _EMB_DIM,
-                                   books=books)
+def _ivfpq_topk_sql(m, n_codes, k=5, books=None, enc_subquery=None):
+    """``enc_subquery`` overrides the codes source (the cosine-metric
+    recall row encodes unit-normalized vectors) — one ranking body for
+    every IVF-PQ oracle, so a tie-break/rounding fix cannot diverge."""
+    enc = enc_subquery or similarity.pq_encode_sql(
+        "embeddings", m, n_codes, _EMB_DIM, books=books
+    )
     lookups = _adc_lookups_sql(m, n_codes, "cand.qv", books)
     return f"""
         with {_ivfpq_cand_sql(_IVF_CENTROIDS, _IVF_PROBE)},
@@ -1938,18 +1942,10 @@ def _sql_emb_ivfpq_recall(sf_dir):
     enc = similarity.pq_encode_sql(
         normed, _PQ192_M, _PQ192_CODES, _EMB_DIM, vec_col="nemb", books=books
     )
-    lookups = _adc_lookups_sql(_PQ192_M, _PQ192_CODES, "cand.qv", books)
-    approx = f"""
-        with {_ivfpq_cand_sql(_IVF_CENTROIDS, _IVF_PROBE)},
-        enc as (select * from {enc})
-        select q_id, rank, neighbor_id from (
-          select cand.q_id, cand.vec_id as neighbor_id,
-                 row_number() over (partition by cand.q_id
-                                    order by round({lookups}, 6) desc,
-                                             cand.vec_id asc) as rank
-          from cand join enc e on cand.vec_id = e.vec_id) where rank <= 5
-    """
-    return _recall_sql(sf_dir, approx)
+    return _recall_sql(
+        sf_dir,
+        _ivfpq_topk_sql(_PQ192_M, _PQ192_CODES, books=books, enc_subquery=enc),
+    )
 
 
 def _q_emb_lsh_buckets(spark, sf_dir):
@@ -2270,7 +2266,14 @@ def _q_img_stream_dedup(spark, sf_dir):
     from .streaming.incremental import stream_phash_dedup_ingest
 
     sfname = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_DATA_DIR, f"stream_phash_v1_{sfname}")
+    target_now = ensure_images(sf_dir)
+    st = os.stat(target_now)
+    # state root keyed by a fixture FINGERPRINT, not just the sf name: a
+    # regenerated images parquet keeps its path, and Spark's
+    # FileStreamSource seen-files map is path-keyed — a name-only key
+    # would serve stale committed rows against the fresh oracle
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    root = os.path.join(_DATA_DIR, f"stream_phash_v1_{sfname}_{fp}")
     os.makedirs(root, exist_ok=True)
     landing = os.path.join(root, "landing")
     os.makedirs(landing, exist_ok=True)

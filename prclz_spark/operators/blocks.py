@@ -91,10 +91,20 @@ def _prune_dangling(
     dead-end family). The reference's buffered difference agrees: a spur
     only notches its enclosing block, it never splits one
     (/root/reference/prclz/blocks/methods.py:35-40). Every edge lying on
-    a cycle survives, so real faces are untouched."""
+    a cycle survives, so real faces are untouched.
+
+    Degrees count DEDUPLICATED undirected edges: duplicate/overlapping
+    input polylines would otherwise give a spur's free endpoint degree 2
+    and let the whisker survive the prune (first-occurrence order kept,
+    so face-trace insertion order stays deterministic)."""
     from collections import Counter
 
-    edges = list(edges)
+    seen: dict[tuple, None] = {}
+    for u, v in edges:
+        key = (u, v) if u <= v else (v, u)
+        if key not in seen:
+            seen[key] = None
+    edges = [k for k in seen]
     while True:
         deg = Counter()
         for u, v in edges:

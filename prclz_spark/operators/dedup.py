@@ -96,6 +96,10 @@ def phash_near_dup(
             .where(F.col("a.rep") < F.col("b.rep"))
         )
     else:
+        # three consumers (cnt + both self-join sides) would each re-run
+        # the distinct-phash aggregation and the corpus scan beneath it —
+        # truncate once (the CLAUDE.md multi-consumer rule)
+        banded = banded.localCheckpoint(eager=False)
         cnt = banded.groupBy("band", "bv").agg(F.count("*").alias("bn"))
         keyed = (
             banded.join(F.broadcast(cnt), ["band", "bv"])

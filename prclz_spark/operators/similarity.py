@@ -894,7 +894,13 @@ def normalize_unit(
         F.lit(0.0),
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
-    with_n = df.select("*", F.sqrt(n2).alias("__nrm"))
+    # 1e-12 floor: a zero vector would otherwise yield NaN components and
+    # the engine/oracle encode argmax diverges on NaN (np.argmax returns
+    # 0; SQL's `case when s = g` is never true for NaN). greatest() is a
+    # single IEEE-exact op mirrored verbatim in the SQL.
+    with_n = df.select(
+        "*", F.greatest(F.sqrt(n2), F.lit(1e-12)).alias("__nrm")
+    )
     return with_n.select(
         *df.columns,
         F.transform(
@@ -918,8 +924,8 @@ def normalize_unit_sql(
     )
     return (
         f"(select {id_col}, list_transform({vec_col},"
-        f" x -> cast(x as double) / sqrt({chain})) as {out_col}"
-        f" from {table})"
+        f" x -> cast(x as double) / greatest(sqrt({chain}), 1e-12))"
+        f" as {out_col} from {table})"
     )
 
 

@@ -200,6 +200,26 @@ def test_curved_family_matches_buffered_difference():
     _check_equivalence(roads, expect_blocks=2)
 
 
+def test_duplicated_dead_end_spur_still_pruned():
+    """Overlapping/duplicate road polylines: a spur that appears twice in
+    the input must still prune (degree counted over DEDUPLICATED
+    undirected edges — the raw count would give its free endpoint degree
+    2 and leave a whisker in the block ring)."""
+    spur = np.array([[0.5, 0.5], [0.8, 0.5]])
+    roads = [
+        np.array([[0.5, 0.0], [0.5, 1.0]]),
+        spur,
+        spur.copy(),  # duplicate polyline
+    ]
+    faces = blocks.polygonize_lines(list(roads) + [SQUARE], SQUARE)
+    assert len(faces) == 2
+    for f in faces:
+        # no whisker: every ring vertex appears exactly once
+        vs = [tuple(np.round(v, 9)) for v in f]
+        assert len(vs) == len(set(vs))
+        assert (0.8, 0.5) not in set(vs)
+
+
 def test_dead_end_free_spur_in_open_face():
     """Spur not touching any other road: the arrangement face trace must
     not invent a block around it, and the buffered difference stays one
