@@ -1131,6 +1131,49 @@ def _sql_evt_window_agg(sf_dir):
     """
 
 
+def _q_evt_block_hourly(spark, sf_dir):
+    """Spatio-temporal rollup: which street blocks are active when —
+    events PIP-assigned to blocks x 1-hour event-time buckets (the
+    hotspot-monitoring composition of J1 with the hourly window agg).
+    The block_id comes from the committed assign table (stage-commit
+    reuse, shared with spatial_parcel_assign) joined back to the fact
+    row by event_id; at production scale both sides live in the
+    bucketed TableStore keyed on event_id (commit_bucketed /
+    read_bucketed), so the join is exchange-free and the only shuffle
+    is the final (block_id, hour) aggregation — whose key count is
+    bounded by blocks x hours, not by the fact row count."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    assigned = _assigned_events_cached(spark, sf_dir).select(
+        "event_id", "block_id"
+    )
+    return (
+        ev.join(assigned, "event_id")
+        .groupBy(
+            "block_id",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _sql_evt_block_hourly(sf_dir):
+    lon, lat = synth.lonlat_sql("event_id")
+    return f"""
+        with pts as (select event_id, ts, value, {lon} as lon, {lat} as lat
+                     from events)
+        select {_grid_block_sql()} as block_id,
+               date_trunc('hour', ts) as hour_bucket,
+               count(*) as n_events,
+               cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+        from pts group by 1, 2
+    """
+
+
 def _stage_stream_dir(sf_dir: str) -> str:
     """Stage a directory for the file-stream source (it lists a DIR):
     one symlink to the read-only events fixture. lexists, not exists —
@@ -2488,6 +2531,7 @@ REGISTRY: dict[str, tuple] = {
         _sql_img_training_manifest,
     ),
     # new in r4 (never driver-checked)
+    "evt_block_hourly": (_q_evt_block_hourly, _sql_evt_block_hourly),
     "img_stream_dedup": (_q_img_stream_dedup, _sql_img_stream_dedup),
     "spatial_reblock_steiner": (
         _q_spatial_reblock_steiner,
