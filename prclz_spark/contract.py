@@ -235,6 +235,40 @@ def _sql_spatial_cell_assign(sf_dir):
     """
 
 
+COMPACT_RES = 16
+COMPACT_RES_MIN = 12
+
+
+def _q_spatial_cell_compact(spark, sf_dir):
+    """H3 compact_cells analog: the distinct res-16 cell cover touched by
+    the events corpus, compacted through 4 quadtree levels — complete
+    4-sibling groups promote to their parent (cells.compact_cells; the
+    production use is shrinking a polyfill cover before broadcasting it
+    to the two-stage PIP join). One skew-free hash agg per level on the
+    parent key (<=4 rows per key), surviving set strictly shrinking."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon, lat = synth.lonlat_cols(F.col("event_id"))
+    pts = ev.select(cells.cell_id(lon, lat, COMPACT_RES).alias("cell"))
+    out = cells.compact_cells(pts, COMPACT_RES, COMPACT_RES_MIN)
+    return out.select(
+        "cell",
+        F.expr(f"cell div {cells.RES_BITS_SHIFT}").cast("int").alias("res"),
+    )
+
+
+def _sql_spatial_cell_compact(sf_dir):
+    lon, lat = synth.lonlat_sql("event_id")
+    base = (
+        f"select {cells.cell_id_sql('lon', 'lat', COMPACT_RES)} as cell "
+        f"from (select event_id, {lon} as lon, {lat} as lat from events) p"
+    )
+    inner = cells.compact_cells_sql(base, COMPACT_RES, COMPACT_RES_MIN)
+    return (
+        f"select cell, cast(cell // {cells.RES_BITS_SHIFT} as int) as res "
+        f"from ({inner}) t"
+    )
+
+
 def _q_spatial_pip_assign(spark, sf_dir):
     assigned = _assigned_img_cached(spark, sf_dir)
     return assigned.groupBy("block_id").agg(F.count("*").alias("n_images"))
@@ -2532,6 +2566,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     # new in r4 (never driver-checked)
     "evt_block_hourly": (_q_evt_block_hourly, _sql_evt_block_hourly),
+    "spatial_cell_compact": (_q_spatial_cell_compact, _sql_spatial_cell_compact),
     "img_stream_dedup": (_q_img_stream_dedup, _sql_img_stream_dedup),
     "spatial_reblock_steiner": (
         _q_spatial_reblock_steiner,

@@ -271,3 +271,119 @@ def cover_cells(ring: np.ndarray, res: int) -> np.ndarray:
             if geom.rect_intersects_polygon(rx0, ry0, rx0 + w, ry0 + h, ring):
                 out.append(res * RES_BITS_SHIFT + cx * XY_SHIFT + cy)
     return np.asarray(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Cover compaction (H3 compact_cells / uncompact_cells analog)
+# ---------------------------------------------------------------------------
+
+def compact_cells(cells_df, res: int, res_min: int, cell_col: str = "cell"):
+    """H3 ``compact_cells`` analog over the quadtree index: replace every
+    complete 4-sibling group by its parent, repeatedly, until ``res_min``.
+    Input: a DataFrame whose ``cell_col`` holds cell ids at uniform ``res``
+    (duplicates tolerated — the set is distinct-ed first). Output: one
+    ``cell`` column, mixed resolutions in [res_min, res], covering exactly
+    the same area (disjoint by construction: a parent is emitted only when
+    all 4 children were present, and the children are then dropped).
+
+    Scale shape: one hash aggregation per level on the *parent* key —
+    skew-free by construction (a parent key holds at most 4 rows), and the
+    surviving set shrinks monotonically, so the K = res - res_min
+    exchanges operate on strictly decreasing data. This is how a
+    10^7-cell polyfill cover of a continent-sized AOI is shrunk before
+    being broadcast to the two-stage PIP join (H3's documented use).
+    Each level frame feeds two consumers (emit + promote), so levels are
+    localCheckpoint(eager=False)-ed per the multi-consumer invariant.
+    """
+    assert 0 <= res_min <= res <= MAX_RES
+    cur = cells_df.select(F.col(cell_col).alias("cell")).distinct()
+    parts = []
+    for r in range(res, res_min, -1):
+        cur = cur.localCheckpoint(eager=False)
+        tagged = cur.select(
+            "cell", cell_prefix(F.col("cell"), r, r - 1).alias("parent")
+        )
+        promoted = (
+            tagged.groupBy("parent")
+            .agg(F.count("*").alias("nc"))
+            .filter(F.col("nc") == 4)
+            .select("parent")
+            .localCheckpoint(eager=False)
+        )
+        parts.append(
+            tagged.join(promoted, "parent", "left_anti").select("cell")
+        )
+        cur = promoted.select(F.col("parent").alias("cell"))
+    parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def uncompact_cells(cells_df, res: int, cell_col: str = "cell"):
+    """Inverse of :func:`compact_cells`: expand every (possibly coarse)
+    cell to all its descendant cells at ``res``. Fan-out per row is
+    4^(res - r) (r = the row's own resolution, read from the id's high
+    bits with exact integer division — the ids exceed 2^53 so float
+    division would corrupt them); one Generate, all arithmetic in
+    whole-stage codegen."""
+    assert 0 <= res <= MAX_RES
+    r = F.expr(f"{cell_col} div {RES_BITS_SHIFT}")
+    rem = F.col(cell_col) - r * F.lit(RES_BITS_SHIFT)
+    cx = F.expr(f"({cell_col} % {RES_BITS_SHIFT}) div {XY_SHIFT}")
+    cy = rem % F.lit(XY_SHIFT)
+    s = F.expr(
+        f"shiftleft(1L, cast({res} - {cell_col} div {RES_BITS_SHIFT} as int))"
+    )
+    df = cells_df.select(
+        (cx * s).alias("_bx"),
+        (cy * s).alias("_by"),
+        s.alias("_s"),
+        F.explode(F.sequence(F.lit(0), s * s - 1)).alias("_i"),
+    )
+    child = (
+        F.lit(res * RES_BITS_SHIFT)
+        + (F.col("_bx") + F.expr("_i div _s")) * F.lit(XY_SHIFT)
+        + (F.col("_by") + F.col("_i") % F.col("_s"))
+    )
+    return df.select(child.cast("long").alias("cell")).distinct()
+
+
+def _parent_sql(cell_expr: str, r: int) -> str:
+    """ANSI-SQL mirror of cell_prefix(cell, r, r-1) (DuckDB `//` = exact
+    bigint floor division; same truncation the Column form applies)."""
+    rem = f"({cell_expr} - {r * RES_BITS_SHIFT})"
+    cx = f"({rem} // {XY_SHIFT})"
+    cy = f"({rem} % {XY_SHIFT})"
+    return (
+        f"(cast({(r - 1) * RES_BITS_SHIFT} as bigint)"
+        f" + ({cx} // 2) * {XY_SHIFT} + ({cy} // 2))"
+    )
+
+
+def compact_cells_sql(base_select: str, res: int, res_min: int) -> str:
+    """The same compaction as a chain of K = res - res_min CTE levels
+    (group by parent, HAVING count = 4 promotes) — DuckDB-runnable so the
+    driver oracle recomputes compaction independently of Spark.
+    ``base_select`` must yield a single ``cell`` column at ``res``."""
+    assert 0 <= res_min <= res <= MAX_RES
+    parts = [f"lvl{res} as (select distinct cell from ({base_select}))"]
+    finals = []
+    for r in range(res, res_min, -1):
+        parts.append(
+            f"tag{r} as (select cell, {_parent_sql('cell', r)} as parent"
+            f" from lvl{r})"
+        )
+        parts.append(
+            f"prom{r} as (select parent from tag{r}"
+            f" group by parent having count(*) = 4)"
+        )
+        parts.append(
+            f"keep{r} as (select cell from tag{r}"
+            f" where parent not in (select parent from prom{r}))"
+        )
+        parts.append(f"lvl{r - 1} as (select parent as cell from prom{r})")
+        finals.append(f"select cell from keep{r}")
+    finals.append(f"select cell from lvl{res_min}")
+    return "with " + ",\n".join(parts) + "\n" + " union all ".join(finals)

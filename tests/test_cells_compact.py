@@ -1,0 +1,141 @@
+"""Cover compaction (H3 compact_cells/uncompact_cells analog).
+
+Three independent pins: an aligned 2^k-square closed form (compacts to
+exactly one parent cell), an exact round-trip (uncompact(compact(S)) == S
+for arbitrary sets), and a brute-force pure-Python compaction oracle on a
+mixed aligned/ragged fixture (the same shape the SQL oracle mirrors for
+the driver's spatial_cell_compact row).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prclz_spark.functions import cells  # noqa: E402
+
+RBS = cells.RES_BITS_SHIFT
+XY = cells.XY_SHIFT
+
+
+def _mk(spark, ids):
+    return spark.createDataFrame([(int(c),) for c in ids], "cell long")
+
+
+def _ids(res, xy_pairs):
+    return [res * RBS + x * XY + y for x, y in xy_pairs]
+
+
+def _compact_py(ids, res, res_min):
+    """Brute-force reference: dict-of-sets per level."""
+    cur = set((((c % RBS) // XY), c % XY) for c in ids)
+    out = []
+    for r in range(res, res_min, -1):
+        groups = {}
+        for x, y in cur:
+            groups.setdefault((x // 2, y // 2), set()).add((x, y))
+        nxt = set()
+        for p, kids in groups.items():
+            if len(kids) == 4:
+                nxt.add(p)
+            else:
+                out.extend(r * RBS + x * XY + y for x, y in kids)
+        cur = nxt
+    out.extend(res_min * RBS + x * XY + y for x, y in cur)
+    return sorted(out)
+
+
+def test_aligned_square_compacts_to_one_cell(spark):
+    # a 4x4 block at res 10 whose corner is 4-aligned == one res-8 cell
+    res, k = 10, 2
+    x0, y0 = 8, 12  # multiples of 4
+    pairs = [(x0 + i, y0 + j) for i in range(4) for j in range(4)]
+    out = sorted(
+        r.cell
+        for r in cells.compact_cells(_mk(spark, _ids(res, pairs)), res, res - k)
+        .collect()
+    )
+    assert out == [(res - k) * RBS + (x0 // 2 // 2) * XY + (y0 // 2 // 2)]
+
+
+def test_unaligned_square_does_not_fully_promote(spark):
+    # same 4x4 block shifted off alignment: its sibling groups straddle
+    # parent boundaries, so compaction must NOT collapse it to one cell
+    res, k = 10, 2
+    pairs = [(9 + i, 13 + j) for i in range(4) for j in range(4)]
+    ids = _ids(res, pairs)
+    out = sorted(
+        r.cell
+        for r in cells.compact_cells(_mk(spark, ids), res, res - k).collect()
+    )
+    assert out == _compact_py(ids, res, res - k)
+    assert len(out) > 1
+
+
+def test_round_trip_exact(spark):
+    # arbitrary ragged set: uncompact(compact(S)) == S exactly
+    res, res_min = 12, 9
+    rng = np.random.default_rng(7)
+    xs = rng.integers(64, 64 + 24, size=400)
+    ys = rng.integers(128, 128 + 24, size=400)
+    ids = sorted(set(_ids(res, zip(xs.tolist(), ys.tolist()))))
+    compacted = cells.compact_cells(_mk(spark, ids), res, res_min)
+    back = sorted(
+        r.cell for r in cells.uncompact_cells(compacted, res).collect()
+    )
+    assert back == ids
+
+
+def test_mixed_fixture_matches_python_oracle(spark):
+    # aligned 8x8 block + ragged spray, multiple promotion depths
+    res, res_min = 11, 7
+    pairs = set((16 + i, 32 + j) for i in range(8) for j in range(8))
+    rng = np.random.default_rng(3)
+    pairs |= set(
+        zip(
+            rng.integers(0, 40, size=200).tolist(),
+            rng.integers(0, 40, size=200).tolist(),
+        )
+    )
+    ids = sorted(set(_ids(res, pairs)))
+    out = sorted(
+        r.cell
+        for r in cells.compact_cells(_mk(spark, ids), res, res_min).collect()
+    )
+    assert out == _compact_py(ids, res, res_min)
+    # disjointness: no output cell is an ancestor of another output cell
+    outset = set(out)
+    for c in out:
+        r = c // RBS
+        x, y = (c % RBS) // XY, c % XY
+        for rr in range(int(r) - 1, res_min - 1, -1):
+            x, y = x // 2, y // 2
+            assert rr * RBS + x * XY + y not in outset
+
+
+def test_compact_sql_mirror_matches_engine(spark):
+    import duckdb
+
+    res, res_min = 11, 8
+    rng = np.random.default_rng(11)
+    pairs = set(
+        zip(
+            rng.integers(0, 32, size=300).tolist(),
+            rng.integers(0, 32, size=300).tolist(),
+        )
+    )
+    pairs |= set((8 + i, 8 + j) for i in range(4) for j in range(4))
+    ids = sorted(set(_ids(res, pairs)))
+    eng = sorted(
+        r.cell
+        for r in cells.compact_cells(_mk(spark, ids), res, res_min).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table base (cell bigint)")
+    con.executemany("insert into base values (?)", [(int(c),) for c in ids])
+    sql = cells.compact_cells_sql("select cell from base", res, res_min)
+    ora = sorted(v[0] for v in con.execute(sql).fetchall())
+    assert eng == ora
