@@ -282,6 +282,19 @@ def _sql_spatial_pip_assign(sf_dir):
     """
 
 
+def _q_spatial_pip_assign_compact(spark, sf_dir):
+    """Same assignment through the compact-cover path (polyfill →
+    compact → ancestor-array join, assign.assign_points_to_blocks_compact)
+    — a plan change only, so it shares spatial_pip_assign's closed-form
+    grid oracle; hash equality proves the compacted join is row-identical
+    to the single-cell join."""
+    pts = _img_points(spark, sf_dir)
+    assigned = assign.assign_points_to_blocks_compact(
+        pts, _grid_cover(spark), PIP_RES, PIP_RES - 4
+    )
+    return assigned.groupBy("block_id").agg(F.count("*").alias("n_images"))
+
+
 def _q_spatial_knn(spark, sf_dir):
     pts = _img_points(spark, sf_dir)
     g = GRID_G
@@ -2567,6 +2580,10 @@ REGISTRY: dict[str, tuple] = {
     # new in r4 (never driver-checked)
     "evt_block_hourly": (_q_evt_block_hourly, _sql_evt_block_hourly),
     "spatial_cell_compact": (_q_spatial_cell_compact, _sql_spatial_cell_compact),
+    "spatial_pip_assign_compact": (
+        _q_spatial_pip_assign_compact,
+        _sql_spatial_pip_assign,
+    ),
     "img_stream_dedup": (_q_img_stream_dedup, _sql_img_stream_dedup),
     "spatial_reblock_steiner": (
         _q_spatial_reblock_steiner,

@@ -387,3 +387,25 @@ def compact_cells_sql(base_select: str, res: int, res_min: int) -> str:
         finals.append(f"select cell from keep{r}")
     finals.append(f"select cell from lvl{res_min}")
     return "with " + ",\n".join(parts) + "\n" + " union all ".join(finals)
+
+
+def compact_cells_np(ids: np.ndarray, res: int, res_min: int) -> np.ndarray:
+    """Driver-side :func:`compact_cells` (same promotion rule, plain
+    Python sets) for compacting the *small* dimension side — e.g. a
+    polygon cover's interior cells before they are broadcast."""
+    assert 0 <= res_min <= res <= MAX_RES
+    cur = {(int((c % RES_BITS_SHIFT) // XY_SHIFT), int(c % XY_SHIFT)) for c in ids}
+    out: list[int] = []
+    for r in range(res, res_min, -1):
+        groups: dict = {}
+        for x, y in cur:
+            groups.setdefault((x // 2, y // 2), []).append((x, y))
+        nxt = set()
+        for p, kids in groups.items():
+            if len(kids) == 4:
+                nxt.add(p)
+            else:
+                out.extend(r * RES_BITS_SHIFT + x * XY_SHIFT + y for x, y in kids)
+        cur = nxt
+    out.extend(res_min * RES_BITS_SHIFT + x * XY_SHIFT + y for x, y in cur)
+    return np.asarray(sorted(out), dtype=np.int64)

@@ -148,20 +148,10 @@ def assign_points_to_blocks(
     raise ValueError(how)
 
 
-def _assign_small_cover(
-    points: DataFrame, cover_pdf: pd.DataFrame, res: int, lon_col: str, lat_col: str
-) -> DataFrame:
-    """Small-dimension path. Split the cover by the ``interior`` flag:
-    points in interior cells are assigned by the broadcast equi-join alone
-    (whole-stage codegen, zero Python); only boundary-cell candidates pass
-    the exact ray-cast, with rings resolved from an executor broadcast keyed
-    by block_id — the Arrow frame carries primitives only."""
-    spark = points.sparkSession
-    if "interior" not in cover_pdf.columns:
-        cover_pdf = cover_pdf.assign(interior=False)
-    cov_df = F.broadcast(
-        spark.createDataFrame(cover_pdf[["cell", "block_id", "interior"]])
-    )
+def _ring_pip_udf(spark, cover_pdf: pd.DataFrame):
+    """Exact ray-cast refine for boundary-cell candidates: rings resolved
+    from an executor broadcast keyed by block_id — the Arrow frame carries
+    primitives only."""
     rings = {
         r.block_id: geom.ring_to_np(r.geometry)
         for r in cover_pdf.drop_duplicates("block_id").itertuples(index=False)
@@ -179,7 +169,96 @@ def _assign_small_cover(
             out[ii] = geom.points_in_polygon(lon_v[ii], lat_v[ii], ring_map[bid])
         return pd.Series(out)
 
+    return pip
+
+
+def _assign_small_cover(
+    points: DataFrame, cover_pdf: pd.DataFrame, res: int, lon_col: str, lat_col: str
+) -> DataFrame:
+    """Small-dimension path. Split the cover by the ``interior`` flag:
+    points in interior cells are assigned by the broadcast equi-join alone
+    (whole-stage codegen, zero Python); only boundary-cell candidates pass
+    the exact ray-cast (_ring_pip_udf)."""
+    spark = points.sparkSession
+    if "interior" not in cover_pdf.columns:
+        cover_pdf = cover_pdf.assign(interior=False)
+    cov_df = F.broadcast(
+        spark.createDataFrame(cover_pdf[["cell", "block_id", "interior"]])
+    )
+    pip = _ring_pip_udf(spark, cover_pdf)
+
     pt = points.withColumn("cell", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
+    cand = pt.join(cov_df, on="cell", how="inner")
+    inner = cand.filter(F.col("interior"))
+    boundary = cand.filter(~F.col("interior")).filter(
+        pip(F.col(lon_col), F.col(lat_col), F.col("block_id"))
+    )
+    return inner.unionByName(boundary).drop("cell", "interior")
+
+
+def compact_cover_pdf(
+    cover_pdf: pd.DataFrame, res: int, res_min: int
+) -> pd.DataFrame:
+    """Compact a classified cover's INTERIOR cells per block through the
+    quadtree (cells.compact_cells_np) — boundary cells stay at ``res``
+    (they gate the exact-PIP refine and must not merge across the flag).
+    Interior flags are area properties, so promoting a complete 4-sibling
+    interior group preserves the assignment semantics cell-for-cell."""
+    inner = cover_pdf[cover_pdf["interior"]]
+    frames = [cover_pdf[~cover_pdf["interior"]]]
+    for bid, g in inner.groupby("block_id", sort=False):
+        ids = cells.compact_cells_np(g["cell"].to_numpy(), res, res_min)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "cell": ids,
+                    "block_id": bid,
+                    "geometry": [g["geometry"].iloc[0]] * len(ids),
+                    "interior": True,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def assign_points_to_blocks_compact(
+    points: DataFrame,
+    cover_pdf: pd.DataFrame,
+    res: int,
+    res_min: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """The H3 production shape of the two-stage PIP join: polyfill →
+    compact → join the point's ANCESTOR-CELL ARRAY against the compacted
+    cover. Row-identical to assign_points_to_blocks on the same cover
+    (pinned in tests/test_cells_compact.py): compacted interior cells are
+    pairwise disjoint and ⊆ their block, so a point still matches at most
+    one interior row — just possibly at a coarser level — and boundary
+    cells stay at ``res`` feeding the same exact ray-cast.
+
+    Cost model: the fact side explodes K+1 = res - res_min + 1 ancestor
+    ids per point (closed-form Column arithmetic — floor(u·2^r)//2 ==
+    floor(u·2^(r-1)), so each level is an independent cell_id call that
+    stays in codegen); the dimension side shrinks up to 4^K on large
+    aligned interiors. Worth it exactly when the cover would otherwise
+    blow the broadcast budget (continent-scale AOIs at fine res) — for
+    small covers prefer the plain single-cell join."""
+    assert 0 <= res_min <= res, (res, res_min)
+    spark = points.sparkSession
+    comp = compact_cover_pdf(cover_pdf, res, res_min)
+    cov_df = F.broadcast(
+        spark.createDataFrame(comp[["cell", "block_id", "interior"]])
+    )
+    pip = _ring_pip_udf(spark, cover_pdf)
+
+    ancestors = F.array(
+        *[
+            cells.cell_id(F.col(lon_col), F.col(lat_col), r)
+            for r in range(res, res_min - 1, -1)
+        ]
+    )
+    pt = points.withColumn("cell", F.explode(ancestors))
     cand = pt.join(cov_df, on="cell", how="inner")
     inner = cand.filter(F.col("interior"))
     boundary = cand.filter(~F.col("interior")).filter(

@@ -139,3 +139,54 @@ def test_compact_sql_mirror_matches_engine(spark):
     sql = cells.compact_cells_sql("select cell from base", res, res_min)
     ora = sorted(v[0] for v in con.execute(sql).fetchall())
     assert eng == ora
+
+
+def test_compact_assign_matches_classic(spark):
+    """assign_points_to_blocks_compact is row-identical to the classic
+    single-cell join on the same cover, and the compacted cover is
+    materially smaller (the broadcast-budget motivation)."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark.operators import assign
+    from prclz_spark.sources import synth
+
+    res, res_min = 17, 13
+    cover = assign.block_cover_pdf(synth.grid_blocks(8), res)
+    comp = assign.compact_cover_pdf(cover, res, res_min)
+    # measured: 30,125 -> 10,868 rows (interiors 23,532 -> 4,275; the
+    # residual is the boundary sliver, which must stay at fine res)
+    assert len(comp) < 0.4 * len(cover)
+    assert comp.interior.sum() < 0.25 * cover.interior.sum()
+    # boundary rows pass through untouched
+    assert (comp[~comp.interior].cell.sort_values().to_numpy()
+            == cover[~cover.interior].cell.sort_values().to_numpy()).all()
+
+    base = spark.range(0, 20_000, numPartitions=8)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    pts = base.select(F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat"))
+    classic = assign.assign_points_to_blocks(pts, cover, res)
+    compact = assign.assign_points_to_blocks_compact(pts, cover, res, res_min)
+    a = sorted((r.image_id, r.block_id) for r in classic.select("image_id", "block_id").collect())
+    b = sorted((r.image_id, r.block_id) for r in compact.select("image_id", "block_id").collect())
+    assert a == b and len(a) == 20_000
+
+
+def test_compact_assign_plan_shape(spark):
+    """One Generate (the ancestor explode), cover joins stay broadcast,
+    exactly one ArrowEvalPython (the boundary ray-cast), no cell
+    Exchange — the compact path must not smuggle in a shuffle."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark.operators import assign
+    from prclz_spark.sources import synth
+
+    cover = assign.block_cover_pdf(synth.grid_blocks(8), 15)
+    base = spark.range(0, 1000, numPartitions=4)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    pts = base.select(F.col("id").alias("image_id"), lon.alias("lon"), lat.alias("lat"))
+    out = assign.assign_points_to_blocks_compact(pts, cover, 15, 11)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Generate") == 2  # one explode per union branch
+    assert p.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning(cell" not in p
