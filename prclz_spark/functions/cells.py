@@ -292,14 +292,20 @@ def compact_cells(cells_df, res: int, res_min: int, cell_col: str = "cell"):
     exchanges operate on strictly decreasing data. This is how a
     10^7-cell polyfill cover of a continent-sized AOI is shrunk before
     being broadcast to the two-stage PIP join (H3's documented use).
-    Each level frame feeds two consumers (emit + promote), so levels are
-    localCheckpoint(eager=False)-ed per the multi-consumer invariant.
+    Each level frame feeds two consumers (emit + promote), so each level
+    is localCheckpoint(eager=False)-ed exactly ONCE per the
+    multi-consumer invariant: the distinct-ed input before the loop, and
+    ``promoted`` inside it (``cur`` on later iterations is a trivial
+    alias projection over the already-checkpointed ``promoted``).
     """
     assert 0 <= res_min <= res <= MAX_RES
-    cur = cells_df.select(F.col(cell_col).alias("cell")).distinct()
+    cur = (
+        cells_df.select(F.col(cell_col).alias("cell"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     parts = []
     for r in range(res, res_min, -1):
-        cur = cur.localCheckpoint(eager=False)
         tagged = cur.select(
             "cell", cell_prefix(F.col("cell"), r, r - 1).alias("parent")
         )
@@ -321,20 +327,37 @@ def compact_cells(cells_df, res: int, res_min: int, cell_col: str = "cell"):
     return out
 
 
-def uncompact_cells(cells_df, res: int, cell_col: str = "cell"):
+def uncompact_cells(
+    cells_df, res: int, cell_col: str = "cell", dedup: bool = False
+):
     """Inverse of :func:`compact_cells`: expand every (possibly coarse)
     cell to all its descendant cells at ``res``. Fan-out per row is
     4^(res - r) (r = the row's own resolution, read from the id's high
     bits with exact integer division — the ids exceed 2^53 so float
     division would corrupt them); one Generate, all arithmetic in
-    whole-stage codegen."""
+    whole-stage codegen, and NO shuffle by default: compact_cells output
+    is pairwise disjoint, so children are unique by construction. Pass
+    ``dedup=True`` only for inputs that may overlap (one hash Exchange
+    over the expanded frame). A row finer than ``res`` raises at
+    execution (a negative shift would otherwise silently emit garbage —
+    Java masks shift counts to the low 6 bits)."""
     assert 0 <= res <= MAX_RES
     r = F.expr(f"{cell_col} div {RES_BITS_SHIFT}")
     rem = F.col(cell_col) - r * F.lit(RES_BITS_SHIFT)
     cx = F.expr(f"({cell_col} % {RES_BITS_SHIFT}) div {XY_SHIFT}")
     cy = rem % F.lit(XY_SHIFT)
-    s = F.expr(
-        f"shiftleft(1L, cast({res} - {cell_col} div {RES_BITS_SHIFT} as int))"
+    s = F.when(
+        r <= F.lit(res),
+        F.expr(
+            f"shiftleft(1L, cast({res} - {cell_col} div {RES_BITS_SHIFT} as int))"
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"uncompact_cells: input cell finer than res={res}: "),
+                F.col(cell_col).cast("string"),
+            )
+        )
     )
     df = cells_df.select(
         (cx * s).alias("_bx"),
@@ -347,7 +370,8 @@ def uncompact_cells(cells_df, res: int, cell_col: str = "cell"):
         + (F.col("_bx") + F.expr("_i div _s")) * F.lit(XY_SHIFT)
         + (F.col("_by") + F.col("_i") % F.col("_s"))
     )
-    return df.select(child.cast("long").alias("cell")).distinct()
+    out = df.select(child.cast("long").alias("cell"))
+    return out.distinct() if dedup else out
 
 
 def _parent_sql(cell_expr: str, r: int) -> str:

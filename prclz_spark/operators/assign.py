@@ -204,6 +204,10 @@ def compact_cover_pdf(
     (they gate the exact-PIP refine and must not merge across the flag).
     Interior flags are area properties, so promoting a complete 4-sibling
     interior group preserves the assignment semantics cell-for-cell."""
+    if "interior" not in cover_pdf.columns:
+        # unclassified covers are legal for the classic path; here every
+        # cell is boundary, so there is nothing to compact
+        cover_pdf = cover_pdf.assign(interior=False)
     inner = cover_pdf[cover_pdf["interior"]]
     frames = [cover_pdf[~cover_pdf["interior"]]]
     for bid, g in inner.groupby("block_id", sort=False):

@@ -190,3 +190,23 @@ def test_compact_assign_plan_shape(spark):
     assert p.count("ArrowEvalPython") == 1
     assert "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning(cell" not in p
+
+
+def test_uncompact_rejects_finer_input(spark):
+    # a res-13 cell uncompacted "to" res 12 must raise, not emit garbage
+    ids = _ids(13, [(5, 5)])
+    with pytest.raises(Exception, match="finer than res"):
+        cells.uncompact_cells(_mk(spark, ids), 12).collect()
+
+
+def test_compact_cover_tolerates_unclassified(spark):
+    from prclz_spark.operators import assign
+    from prclz_spark.sources import synth
+
+    cover = assign.block_cover_pdf(synth.grid_blocks(4), 14).drop(
+        columns=["interior"]
+    )
+    comp = assign.compact_cover_pdf(cover, 14, 11)
+    # nothing is interior, so nothing compacts — pass-through
+    assert len(comp) == len(cover)
+    assert not comp.interior.any()
