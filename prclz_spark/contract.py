@@ -2549,10 +2549,36 @@ def _sql_img_training_manifest(sf_dir):
 # ===========================================================================
 
 REGISTRY: dict[str, tuple] = {
-    # NOTE on ordering: the driver's correctness run has historically been
-    # time/count-capped (CORRECTNESS_r03 stopped at 50/62), so queries that
-    # have never received a driver row run FIRST — the multimodal +
-    # curation block below predates the long-established spatial tail.
+    # NOTE on ordering: the driver's correctness run is capped at 50
+    # queries/round, so the window ROTATES: queries whose last driver row
+    # is one round old (rotated out of r04 by the cap) run FIRST, followed
+    # by anything new this round; the r04-green block fills the rest and
+    # its tail rotates out — union(r04, r05) covers every query with no
+    # row older than one round.
+    # --- rotated out of r04 (last driver row: r03) ---
+    "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
+    "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
+    "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),
+    "dedup_minhash_capped": (_q_dedup_minhash_capped, _sql_dedup_minhash_capped),
+    "dedup_clusters": (_q_dedup_clusters, _sql_dedup_clusters),
+    "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
+    "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
+    "emb_near_dup_lsh": (_q_emb_near_dup_lsh, _sql_emb_near_dup_lsh),
+    "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
+    "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
+    "emb_ivf_recall": (_q_emb_ivf_recall, _sql_emb_ivf_recall),
+    "emb_pq_codes": (_q_emb_pq_codes, _sql_emb_pq_codes),
+    "emb_pq_topk": (_q_emb_pq_topk, _sql_emb_pq_topk),
+    "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
+    "txt_bpe_tokens": (_q_txt_bpe_tokens, _sql_txt_bpe_tokens),
+    "txt_quality_score": (_q_txt_quality, _sql_txt_quality),
+    "txt_lang_id": (_q_txt_lang_id, _sql_txt_lang_id),
+    "txt_simhash_buckets": (_q_txt_simhash, _sql_txt_simhash),
+    "txt_winnow_fingerprint": (_q_txt_winnow_fp, _sql_txt_winnow_fp),
+    "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
+    "evt_stream_dedup": (_q_evt_stream_dedup, _sql_evt_stream_dedup),
+    # --- new in r05 (never driver-checked) inserted here ---
+    # --- r04-green block (tail rotates out this round) ---
     # multimodal (S4, F26-F29)
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),
     "img_tile_stats": (_q_img_tile_stats, _sql_img_tile_stats),
@@ -2592,6 +2618,13 @@ REGISTRY: dict[str, tuple] = {
     "emb_pq_recall": (_q_emb_pq_recall, _sql_emb_pq_recall),
     "emb_ivfpq_topk": (_q_emb_ivfpq_topk, _sql_emb_ivfpq_topk),
     "emb_ivfpq_recall": (_q_emb_ivfpq_recall, _sql_emb_ivfpq_recall),
+    # the no_oracle twins + the road-distance queries the r05 distributed
+    # segment cover touches: keep their driver rows current-round
+    "spatial_k_complexity_grid": (_q_spatial_k_complexity_grid, _sql_spatial_k_complexity_grid),
+    "spatial_reblock_status": (_q_spatial_reblock_status, _sql_spatial_reblock_status),
+    "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
+    "spatial_road_dist_metrics": (_q_spatial_road_dist_metrics, _sql_spatial_road_dist_metrics),
+    "spatial_boundary_types": (_q_spatial_boundary_types, _sql_spatial_boundary_types),
     # spatial operators (SURVEY.md §2.3 J1/J10, §2.7 F26-F27)
     "spatial_cell_assign": (_q_spatial_cell_assign, _sql_spatial_cell_assign),
     "spatial_pip_assign": (_q_spatial_pip_assign, _sql_spatial_pip_assign),
@@ -2600,15 +2633,10 @@ REGISTRY: dict[str, tuple] = {
     "spatial_tiles": (_q_spatial_tiles, _sql_spatial_tiles),
     "spatial_block_extract": (_q_spatial_block_extract, _sql_spatial_block_extract),
     "spatial_k_complexity": (_q_spatial_k_complexity, None),  # rows-only: weak-dual iteration
-    "spatial_k_complexity_grid": (_q_spatial_k_complexity_grid, _sql_spatial_k_complexity_grid),
-    "spatial_reblock_status": (_q_spatial_reblock_status, _sql_spatial_reblock_status),
     "spatial_parcels": (_q_spatial_parcels, _sql_spatial_parcels),
     "spatial_parcels_footprint": (_q_spatial_parcels_footprint, _sql_spatial_parcels_footprint),
     "spatial_reblock": (_q_spatial_reblock, None),  # rows-only: Steiner MST not SQL-expressible
-    "spatial_road_dist": (_q_spatial_road_dist, _sql_spatial_road_dist),
-    "spatial_road_dist_metrics": (_q_spatial_road_dist_metrics, _sql_spatial_road_dist_metrics),
     "spatial_largest_overlap": (_q_spatial_largest_overlap, _sql_spatial_largest_overlap),
-    "spatial_boundary_types": (_q_spatial_boundary_types, _sql_spatial_boundary_types),
     "fn_geodesy": (_q_fn_geodesy, _sql_fn_geodesy),
     "src_wkt_scan": (_q_src_wkt_scan, _sql_src_wkt_scan),
     # relational surface (P/J/A/W/U operator families)
@@ -2624,29 +2652,6 @@ REGISTRY: dict[str, tuple] = {
     "evt_window_agg": (_q_evt_window_agg, _sql_evt_window_agg),
     "evt_stream_window": (_q_evt_stream_window, _sql_evt_stream_window),
     "evt_sessionize": (_q_evt_sessionize, _sql_evt_sessionize),
-    "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
-    "evt_stream_dedup": (_q_evt_stream_dedup, _sql_evt_stream_dedup),
-    # text / dedup
-    "txt_token_stats": (_q_txt_token_stats, _sql_txt_token_stats),
-    "txt_bpe_tokens": (_q_txt_bpe_tokens, _sql_txt_bpe_tokens),
-    "txt_quality_score": (_q_txt_quality, _sql_txt_quality),
-    "txt_lang_id": (_q_txt_lang_id, _sql_txt_lang_id),
-    "txt_simhash_buckets": (_q_txt_simhash, _sql_txt_simhash),
-    "txt_winnow_fingerprint": (_q_txt_winnow_fp, _sql_txt_winnow_fp),
-    "dedup_exact": (_q_dedup_exact, _sql_dedup_exact),
-    "dedup_jaccard": (_q_dedup_jaccard, _sql_dedup_jaccard),
-    "dedup_minhash_lsh": (_q_dedup_minhash, _sql_dedup_minhash),
-    "dedup_minhash_capped": (_q_dedup_minhash_capped, _sql_dedup_minhash_capped),
-    "dedup_clusters": (_q_dedup_clusters, _sql_dedup_clusters),
-    # similarity search
-    "emb_cosine_topk": (_q_emb_topk, _sql_emb_topk),
-    "emb_near_dup": (_q_emb_near_dup, _sql_emb_near_dup),
-    "emb_near_dup_lsh": (_q_emb_near_dup_lsh, _sql_emb_near_dup_lsh),
-    "emb_lsh_buckets": (_q_emb_lsh_buckets, _sql_emb_lsh_buckets),
-    "emb_ivf_topk": (_q_emb_ivf_topk, _sql_emb_ivf_topk),
-    "emb_ivf_recall": (_q_emb_ivf_recall, _sql_emb_ivf_recall),
-    "emb_pq_codes": (_q_emb_pq_codes, _sql_emb_pq_codes),
-    "emb_pq_topk": (_q_emb_pq_topk, _sql_emb_pq_topk),
 }
 
 
