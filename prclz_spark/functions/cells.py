@@ -299,8 +299,23 @@ def compact_cells(cells_df, res: int, res_min: int, cell_col: str = "cell"):
     alias projection over the already-checkpointed ``promoted``).
     """
     assert 0 <= res_min <= res <= MAX_RES
+    # execution-time guard (uncompact_cells' twin): a cell at another
+    # resolution would get a mis-scaled cx/cy in cell_prefix and could
+    # silently collide with a legit parent key, wrongly completing a
+    # 4-sibling promotion — raise instead.
+    checked = F.when(
+        F.expr(f"{cell_col} div {RES_BITS_SHIFT}") == F.lit(res),
+        F.col(cell_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"compact_cells: input cell not at res={res}: "),
+                F.col(cell_col).cast("string"),
+            )
+        )
+    )
     cur = (
-        cells_df.select(F.col(cell_col).alias("cell"))
+        cells_df.select(checked.alias("cell"))
         .distinct()
         .localCheckpoint(eager=False)
     )

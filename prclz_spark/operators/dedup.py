@@ -72,9 +72,12 @@ def phash_near_dup(
     2·max_bucket_reps and per-key join output ≤ max_bucket_reps² — hub
     buckets cost fan-out spread over B(B+1)/2 keys, never a straggler
     task. Cold buckets get B = 1 and degenerate to the plain equi-join.
-    The bucket-count side table is ≤ bands·2¹⁶ rows by construction, so
-    it is always broadcast — the guard adds no extra Exchange of the
-    banded frame. ``max_bucket_reps=None`` restores the unguarded join."""
+    The bucket-count side table is ≤ bands·2^(64/bands) rows by
+    construction, so it is force-broadcast whenever band values fit 16
+    bits (bands ≥ 4 — no extra Exchange of the banded frame); with wider
+    bands the bound degenerates to distinct-phash cardinality and the
+    broadcast decision is left to AQE. ``max_bucket_reps=None`` restores
+    the unguarded join."""
     width = 64 // bands
     mask = (1 << width) - 1
     g = img.groupBy(phash_col).agg(
@@ -101,8 +104,15 @@ def phash_near_dup(
         # truncate once (the CLAUDE.md multi-consumer rule)
         banded = banded.localCheckpoint(eager=False)
         cnt = banded.groupBy("band", "bv").agg(F.count("*").alias("bn"))
+        # the "≤ bands·2^width rows by construction" broadcast bound only
+        # holds while band values are ≤16 bits (bands ≥ 4 on a 64-bit
+        # hash); with wider bands the count table is bounded only by
+        # distinct phashes — let AQE decide instead of forcing a
+        # driver-sized broadcast at the 10⁹-hash scale the guard targets
+        if 64 // bands <= 16:
+            cnt = F.broadcast(cnt)
         keyed = (
-            banded.join(F.broadcast(cnt), ["band", "bv"])
+            banded.join(cnt, ["band", "bv"])
             .withColumn(
                 "nb",
                 F.ceil(F.col("bn") / F.lit(max_bucket_reps)).cast("int"),

@@ -55,9 +55,33 @@ def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     and at an exact half-ulp-of-1e-6 tie would order two candidates
     differently than the oracle's global window, so a batch-LOCAL top-k
     prune keyed by np.round could drop a candidate the global order keeps
-    (output would then depend on Arrow batch boundaries)."""
+    (output would then depend on Arrow batch boundaries).
+
+    Residual: this computes HALF_UP on the double product abs(x)*10^d,
+    while F.round/DuckDB round the exact binary value via BigDecimal — a
+    product landing within 1 ulp of a .5 boundary can still disagree.
+    The local prunes therefore keep ``k + PRUNE_MARGIN`` rows: a wrong
+    k-th row now requires PRUNE_MARGIN+1 simultaneous 1-ulp boundary
+    disagreements between a batch's keys and the global keys, not one."""
     p = 10.0 ** digits
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+# extra rows each batch-local top-k keeps beyond k before the exact global
+# window ranks them (see _round_half_up's residual note)
+PRUNE_MARGIN = 8
+
+
+def _seq_dot(q_mat: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """``q_mat @ mat.T`` accumulated SEQUENTIALLY over the dim index —
+    the same IEEE summation order as the SQL oracle's left-associated
+    ``+`` chain (and as ``_adc_tables``). BLAS matmul reorders the sum;
+    with trained float codebooks a last-ulp difference near a
+    centroid-score tie could flip the probe set vs the oracle."""
+    acc = np.zeros((len(q_mat), len(mat)))
+    for i in range(q_mat.shape[1]):
+        acc = acc + q_mat[:, i : i + 1] * mat[None, :, i]
+    return acc
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -127,7 +151,7 @@ def cosine_topk(
                 idx = np.nonzero(mask)[0]
                 if len(idx) == 0:
                     continue
-                take = min(k, len(idx))
+                take = min(k + PRUNE_MARGIN, len(idx))
                 order = np.lexsort((ids_e[idx], -sims_key[idx, j]))
                 top = idx[order[:take]]
                 out_q.extend([ids_q[j]] * len(top))
@@ -596,7 +620,7 @@ def ivf_topk(
     )
     q_pdf = queries.select(query_id_col, vec_col).toPandas()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
-    scores = q_mat @ codebook.T
+    scores = _seq_dot(q_mat, codebook)  # oracle's exact IEEE sum order
     probes = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         {"q_id": int(q_pdf[query_id_col].iloc[i]), "centroid": int(c)}
@@ -1002,7 +1026,7 @@ def pq_topk(
                 if len(idx) == 0:
                     continue
                 order = np.lexsort((ids_e[idx], -key[idx]))
-                top = idx[order[: min(k, len(idx))]]
+                top = idx[order[: min(k + PRUNE_MARGIN, len(idx))]]
                 out_q.extend([ids_q[qi]] * len(top))
                 out_n.extend(ids_e[top].tolist())
                 # emit the RAW score; the global window re-rounds with
@@ -1072,7 +1096,7 @@ def ivfpq_topk(
     )
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
     probes = np.argsort(
-        -(q_mat @ coarse.T), axis=1, kind="stable"
+        -_seq_dot(q_mat, coarse), axis=1, kind="stable"  # oracle's sum order
     )[:, :n_probe]
     probe_rows = [
         {"q_id": int(q_ids[i]), "centroid": int(c)}
@@ -1128,7 +1152,7 @@ def ivfpq_topk(
                     acc = acc + tabs_[qi, j, codes[:, j]]
                 key = _round_half_up(acc, round_digits)
                 order = np.lexsort((ids_e, -key))
-                top = order[: min(k, len(order))]
+                top = order[: min(k + PRUNE_MARGIN, len(order))]
                 frames.append(
                     pd.DataFrame(
                         {
