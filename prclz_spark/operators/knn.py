@@ -32,6 +32,35 @@ def _dist2(px, py, tx, ty):
     return (px - tx) * (px - tx) + (py - ty) * (py - ty)
 
 
+def _terminal_res(ring: int) -> int:
+    """Coarsest useful level: at res r with 2^r <= 2*ring + 1 the kRing
+    window spans the whole grid, so the candidate join is COMPLETE (every
+    target is a candidate for every point) and a level there may accept
+    its argmin unconditionally."""
+    r = 0
+    while (1 << (r + 1)) <= 2 * ring + 1:
+        r += 1
+    return r
+
+
+def _extend_levels(levels: list[int], ring: int) -> tuple[list[int], int]:
+    """Append coarser levels (geometric, step 3 = 8x cell growth) down to
+    the terminal resolution, so the cascade residue is empty BY
+    CONSTRUCTION and no brute pass is needed. Returns (levels, terminal):
+    every level above ``terminal`` accepts ring-guaranteed winners only;
+    the terminal level's candidate set is complete, so it accepts all."""
+    term = _terminal_res(ring)
+    if levels[-1] <= term:
+        # the caller's coarsest level already spans the grid
+        return levels, levels[-1]
+    ext = []
+    r = levels[-1] - 3
+    while r > term:
+        ext.append(r)
+        r -= 3
+    return levels + ext + [term], term
+
+
 def _cascade(
     points_narrow: DataFrame,
     pid: str,
@@ -40,6 +69,7 @@ def _cascade(
     make_candidates: Callable[[DataFrame, int], DataFrame],
     make_brute: Callable[[DataFrame], DataFrame],
     argmin: Callable[[DataFrame], DataFrame],
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Shared EXACT multi-resolution NN cascade (one copy of every
     correctness-bearing invariant — accept threshold, anti-join chain,
@@ -58,6 +88,17 @@ def _cascade(
     three consumers (accept filter, anti-join, final union) and would
     otherwise re-execute the candidate join and the caller's upstream
     plan per consumer (measured 2.4x wall on the bench parcel-assign).
+
+    ``exhaustive``: extend the cascade with auto-appended coarser levels
+    down to the terminal resolution (where the kRing window spans the
+    whole grid, making the candidate set complete), so the residue is
+    empty BY CONSTRUCTION and ``make_brute`` is never planned. This is
+    the ``broadcast_targets=False`` shape: with a fact-sized target
+    table, a non-empty residue through ``make_brute`` would otherwise be
+    a true cartesian — the residue is instead drained by equi-joins
+    whose per-point fan-out is output-sensitive (a point surviving to
+    level r had no target within ring·cell_h(r+3), so its r-window holds
+    ~the targets within twice its true NN distance).
     """
     # fine -> coarse is load-bearing for the skew defense: [14, 17] stays
     # EXACT (every level's accept is ring-guaranteed) but runs the coarse
@@ -67,6 +108,9 @@ def _cascade(
     assert list(levels) == sorted(levels, reverse=True) and len(
         set(levels)
     ) == len(levels), f"cascade levels must be strictly fine->coarse: {levels}"
+    terminal = None
+    if exhaustive:
+        levels, terminal = _extend_levels(list(levels), ring)
     remaining = points_narrow
     resolved: list[DataFrame] = []
     for r in levels:
@@ -75,12 +119,21 @@ def _cascade(
         # out of the (2k+1)^2 block (lon cells are 2x wider: conservative)
         cell_h = 180.0 / (1 << r)
         best = argmin(make_candidates(remaining, r)).localCheckpoint(eager=False)
+        if r == terminal:
+            # complete candidate set: the argmin is the global argmin
+            resolved.append(best)
+            remaining = None
+            break
         accept = best.filter(F.col("nn_dist") <= F.lit(ring * cell_h))
         resolved.append(accept)
         remaining = remaining.join(
             accept.select(pid), on=pid, how="left_anti"
         ).localCheckpoint(eager=False)
-    out = argmin(make_brute(remaining))
+    if remaining is None:  # exhaustive: residue empty by construction
+        out = resolved[-1]
+        resolved = resolved[:-1]
+    else:
+        out = argmin(make_brute(remaining))
     for s in resolved:
         out = s.unionByName(out)
     return out
@@ -106,6 +159,13 @@ def knn_join(
     ``point_id``: a unique key column in ``points`` (defaults to the
     first column); grouping happens on it alone and the remaining point
     columns are re-attached with one join at the end.
+
+    ``broadcast_targets=False`` (fact-sized targets, the 10^12-anchor
+    plan): candidate joins become cell-key shuffle joins AND the cascade
+    runs exhaustively — coarser levels are auto-appended down to the
+    terminal resolution so the residue is empty by construction and no
+    cartesian brute pass is ever planned. Output is row-identical to the
+    broadcast plan (both are exact NN under the same total order).
     """
     pid = point_id or points.columns[0]
     levels = list(res) if isinstance(res, (list, tuple)) else [res]
@@ -136,12 +196,17 @@ def knn_join(
         ).join(tgt_r, F.col("__cell") == F.col("__tcell"), "inner")
 
     def make_brute(remaining: DataFrame) -> DataFrame:
-        tgt_all = F.broadcast(targets) if broadcast_targets else targets
-        return remaining.crossJoin(tgt_all)
+        # only planned under broadcast_targets=True, where it is a bounded
+        # BroadcastNestedLoopJoin over the (small) cascade residue; the
+        # non-broadcast path runs the exhaustive cascade instead and never
+        # plans this join (a non-empty residue against a fact-sized target
+        # table would be a true cartesian)
+        return remaining.crossJoin(F.broadcast(targets))
 
     out = _cascade(
         points.select(pid, lon_col, lat_col),
         pid, levels, ring, make_candidates, make_brute, argmin,
+        exhaustive=not broadcast_targets,
     )
     return points.join(out, on=pid)
 

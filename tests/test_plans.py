@@ -101,11 +101,45 @@ def test_knn_nonbroadcast_plan_and_equivalence(spark):
         p2 = _plan(shuf2)
         assert "BroadcastHashJoin" not in p2 and "BroadcastExchange" not in p2
         assert "Exchange hashpartitioning" in p2  # cell-key shuffle join
+        # the exhaustive cascade replaces the brute residue pass: a
+        # non-empty residue would otherwise be a true cartesian here
+        assert "CartesianProduct" not in p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     a = sorted(map(tuple, bcast.select("image_id", "target_id").collect()))
     b = sorted(map(tuple, shuf.select("image_id", "target_id").collect()))
     assert a == b
+
+
+def test_knn_nonbroadcast_nonempty_residue_exact(spark):
+    """Force a NON-empty residue at the caller's coarsest level: a lone
+    far-away point whose nearest target exceeds ring·cell_h(14) by orders
+    of magnitude. Under broadcast_targets=False the exhaustive cascade's
+    auto-appended coarser levels must resolve it exactly (no cartesian in
+    the plan — pinned above), identical to the broadcast answer."""
+    import pandas as pd
+
+    tgt = spark.createDataFrame(
+        pd.DataFrame(
+            {"target_id": [1, 2], "tx": [10.0, 10.3], "ty": [10.0, 10.2]}
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [100, 101, 102],
+                "lon": [10.01, 10.29, -170.0],  # last: residue at res 14
+                "lat": [10.02, 10.21, -80.0],
+            }
+        )
+    )
+    a = knn.knn_join(pts, tgt, 14, target_id="target_id")
+    b = knn.knn_join(pts, tgt, 14, target_id="target_id", broadcast_targets=False)
+    rows_a = sorted(map(tuple, a.select("image_id", "target_id", "nn_dist").collect()))
+    rows_b = sorted(map(tuple, b.select("image_id", "target_id", "nn_dist").collect()))
+    assert rows_a == rows_b
+    assert len(rows_b) == 3  # the far point IS resolved, not dropped
+    assert "CartesianProduct" not in _plan(b)
 
 
 def test_cascade_rejects_coarse_to_fine_levels(spark):
