@@ -738,6 +738,28 @@ def _sql_spatial_road_dist(sf_dir):
     """
 
 
+def _q_spatial_road_dist_dist(spark, sf_dir):
+    """spatial_road_dist through the DISTRIBUTED segment-cover path
+    (fact-sized-roads plan: segments flattened and supercovered as
+    Column arithmetic, cell-key shuffle joins, exhaustive cascade, no
+    broadcast of the cover, no cartesian) — shares spatial_road_dist's
+    closed-form oracle, so a green row proves the two plans are
+    row-identical."""
+    pts = _img_points(spark, sf_dir)
+    roads = synth.road_grid_lines(GRID_G, jitter=0.0)
+    lines = spark.createDataFrame(roads)
+    segs = rangejoin.segments_from_lines_df(
+        lines.filter(F.col("highway").isNotNull())
+    ).select("seg_id", "ax", "ay", "bx", "by")
+    joined = rangejoin.nearest_segment_join_distributed(
+        pts, segs, SEG_RES, point_id="image_id"
+    )
+    out = rangejoin.classify_by_distance(joined, ROAD_EPS)
+    return out.select(
+        "image_id", F.round("road_dist", 9).alias("road_dist_r9"), "road_class"
+    )
+
+
 def _q_spatial_road_dist_metrics(spark, sf_dir):
     """QC / join-coverage metrics (check_distance.py:37-66 +
     split_geojson.py:185-224 analog): match rate of the ε-classify plus
@@ -2577,7 +2599,8 @@ REGISTRY: dict[str, tuple] = {
     "txt_winnow_fingerprint": (_q_txt_winnow_fp, _sql_txt_winnow_fp),
     "evt_dedup_first": (_q_evt_dedup_first, _sql_evt_dedup_first),
     "evt_stream_dedup": (_q_evt_stream_dedup, _sql_evt_stream_dedup),
-    # --- new in r05 (never driver-checked) inserted here ---
+    # --- new in r05 (never driver-checked) ---
+    "spatial_road_dist_dist": (_q_spatial_road_dist_dist, _sql_spatial_road_dist),
     # --- r04-green block (tail rotates out this round) ---
     # multimodal (S4, F26-F29)
     "img_metadata_stats": (_q_img_metadata_stats, _sql_img_metadata_stats),

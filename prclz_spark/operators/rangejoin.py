@@ -28,6 +28,8 @@ from ..functions import cells
 
 __all__ = [
     "segments_from_lines", "segment_cover_pdf", "nearest_segment_join",
+    "segments_from_lines_df", "segment_cover_df",
+    "nearest_segment_join_distributed",
     "classify_by_distance", "boundary_types_for_blocks",
 ]
 
@@ -89,6 +91,226 @@ def segment_cover_pdf(segments_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
                  "ax": r.ax, "ay": r.ay, "bx": r.bx, "by": r.by}
             )
     return pd.DataFrame(rows)
+
+
+def segments_from_lines_df(lines: DataFrame) -> DataFrame:
+    """Distributed :func:`segments_from_lines`: same ids, schema, and
+    tag→type resolution, built with one Generate over the vertex array —
+    the fact-sized-roads path (a planetary ~10⁸-segment table neither
+    fits in driver memory nor should round-trip through pandas; reference
+    split_lines.py:23-38 operates per-GADM-file on the driver).
+
+    ``lines``: (osm_id, highway, waterway, natural,
+    geometry array<array<double>>). Untagged lines default to 'highway';
+    the last non-null of (waterway, highway, natural) wins, replicating
+    the reference's override order (i_topology_utils.py:287-293)."""
+    ft = (
+        F.when(F.col("natural").isNotNull(), F.lit("natural"))
+        .when(F.col("highway").isNotNull(), F.lit("highway"))
+        .when(F.col("waterway").isNotNull(), F.lit("waterway"))
+        .otherwise(F.lit("highway"))
+    )
+    g = F.col("geometry")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(g) - 2),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.element_at(g, i + 1).alias("a"),
+            F.element_at(g, i + 2).alias("b"),
+        ),
+    )
+    return (
+        lines.select(
+            "osm_id", ft.alias("feature_type"), F.explode(pairs).alias("p")
+        )
+        .select(
+            F.concat_ws("_", F.col("osm_id"), F.col("p.i")).alias("seg_id"),
+            F.col("p.a")[0].alias("ax"),
+            F.col("p.a")[1].alias("ay"),
+            F.col("p.b")[0].alias("bx"),
+            F.col("p.b")[1].alias("by"),
+            "feature_type",
+        )
+    )
+
+
+def segment_cover_df(segments: DataFrame, res: int) -> DataFrame:
+    """Distributed :func:`segment_cover_pdf`: the same supercover —
+    samples every ≤1/4 cell along the segment, 3×3 dilation, distinct per
+    (cell, segment) — as pure Column arithmetic (whole-stage codegen, one
+    Generate for samples, one for the dilated cells, one Exchange for the
+    distinct). The sample positions reproduce np.linspace bit-for-bit
+    (t_i = i·(1/n), t_n = 1.0), so the emitted cell set is identical to
+    the driver builder's and the two paths are interchangeable.
+
+    Scale shape: per-row fan-out is 9·(len/0.25cell + 1) before the
+    array_distinct — output-proportional, no driver collect, and the
+    resulting cover is a first-class DataFrame that joins by cell key
+    instead of broadcasting."""
+    nx = 1 << res
+    fx = F.lit(float(nx))
+    seg = segments.select(
+        "seg_id", "ax", "ay", "bx", "by",
+        ((F.col("ax") + F.lit(180.0)) / F.lit(360.0) * fx).alias("__u0"),
+        ((F.col("ay") + F.lit(90.0)) / F.lit(180.0) * fx).alias("__v0"),
+        ((F.col("bx") + F.lit(180.0)) / F.lit(360.0) * fx).alias("__u1"),
+        ((F.col("by") + F.lit(90.0)) / F.lit(180.0) * fx).alias("__v1"),
+    ).withColumn(
+        "__n",
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                F.greatest(
+                    F.abs(F.col("__u1") - F.col("__u0")),
+                    F.abs(F.col("__v1") - F.col("__v0")),
+                )
+                / F.lit(0.25)
+            ),
+        ).cast("int"),
+    )
+    samp = seg.select(
+        "seg_id", "ax", "ay", "bx", "by",
+        "__u0", "__v0", "__u1", "__v1", "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__n"))).alias("__i"),
+    )
+    # np.linspace(0, 1, n+1): t_i = i * (1/n) with the endpoint pinned
+    t = F.when(F.col("__i") == F.col("__n"), F.lit(1.0)).otherwise(
+        F.col("__i").cast("double") * (F.lit(1.0) / F.col("__n").cast("double"))
+    )
+    iu = F.floor(F.col("__u0") + t * (F.col("__u1") - F.col("__u0")))
+    iv = F.floor(F.col("__v0") + t * (F.col("__v1") - F.col("__v0")))
+    samp = samp.select(
+        "seg_id", "ax", "ay", "bx", "by", iu.alias("__iu"), iv.alias("__iv")
+    )
+    dil = []
+    for du in (-1, 0, 1):
+        for dv in (-1, 0, 1):
+            uu = F.greatest(
+                F.lit(0), F.least(F.lit(nx - 1), F.col("__iu") + F.lit(du))
+            )
+            vv = F.greatest(
+                F.lit(0), F.least(F.lit(nx - 1), F.col("__iv") + F.lit(dv))
+            )
+            dil.append(
+                F.lit(res * cells.RES_BITS_SHIFT) + uu * F.lit(cells.XY_SHIFT) + vv
+            )
+    return (
+        samp.select(
+            "seg_id", "ax", "ay", "bx", "by",
+            F.explode(F.array_distinct(F.array(*dil))).alias("cell"),
+        )
+        .select(F.col("cell").cast("long").alias("cell"),
+                "seg_id", "ax", "ay", "bx", "by")
+        .distinct()
+    )
+
+
+def nearest_segment_join_distributed(
+    points: DataFrame,
+    segments: DataFrame,
+    res: int | list[int],
+    point_id: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_segs_per_cell: int | None = 4096,
+) -> DataFrame:
+    """Exact nearest segment for FACT-SIZED road tables: the cover is
+    built distributed (:func:`segment_cover_df`), joins by cell key with
+    no broadcast requested, and exactness comes from the same cascade
+    shape as ``knn._cascade`` — a level accepts winners whose distance
+    ≤ cell_h(r) (the dilated cover guarantees every segment within one
+    cell of the point's cell is a candidate), survivors fall through to
+    auto-appended coarser levels, and the terminal level (res ≤ 1, where
+    any segment's 3×3-dilated cover is the whole grid) has a provably
+    complete candidate set and accepts unconditionally — no cartesian
+    anywhere, residue empty by construction.
+
+    ``max_segs_per_cell``: hot-cell guard (a star junction puts every
+    road through one cell and its 8 neighbors — the per-cell join key
+    goes quadratic exactly like the kNN hotspot). Each cell's segment
+    rows split into ``nb = ceil(count/cap)`` hash chunks; points
+    replicate to their cell's nb chunk keys; per-(cell, chunk) rows are
+    ~cap (hash-balanced) so no straggler task, and the min-reduction
+    over all chunks is the min over the cell — EXACT, a plan change only
+    (the same
+    decomposition as dedup's chunk-pair guard, one-sided because NN is a
+    reduction, not a pair enumeration).
+
+    Output: (point columns..., seg_id, road_dist) — identical rows to
+    :func:`nearest_segment_join` (both exact; ties on distance break to
+    the lowest seg_id here, which only matters for the seg_id column)."""
+    pid = point_id or points.columns[0]
+    levels = list(res) if isinstance(res, (list, tuple)) else [res]
+    assert list(levels) == sorted(levels, reverse=True) and len(
+        set(levels)
+    ) == len(levels), f"levels must be strictly fine->coarse: {levels}"
+    # terminal: at res <= 1 the 3x3 dilation of any sample cell covers the
+    # whole (<= 2x2) grid, so every segment is a candidate of every point
+    term = 1
+    if levels[-1] > term:
+        r = levels[-1] - 3
+        while r > term:
+            levels.append(r)
+            r -= 3
+        levels.append(term)
+    else:
+        term = levels[-1]
+
+    points = points.localCheckpoint(eager=False)
+    segments = segments.localCheckpoint(eager=False)  # one consumer per level
+    pts = points.select(
+        pid, F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")
+    )
+    dist = _seg_dist_cols()
+    # deterministic tie-break (lowest seg_id) so the output does not
+    # depend on which plan variant ran
+    order_key = F.struct(dist.alias("d"), F.col("seg_id").alias("s"))
+
+    def argmin(cand: DataFrame) -> DataFrame:
+        return cand.groupBy(pid).agg(
+            F.min_by(F.col("seg_id"), order_key).alias("seg_id"),
+            F.min(dist).alias("road_dist"),
+        )
+
+    remaining = pts
+    resolved: list[DataFrame] = []
+    out = None
+    for r in levels:
+        cell_h = 180.0 / (1 << r)
+        cov = segment_cover_df(segments, r)
+        pcell = remaining.withColumn(
+            "cell", cells.cell_id(F.col("lon"), F.col("lat"), r)
+        )
+        if max_segs_per_cell is not None:
+            # cov feeds the count agg AND the chunk join — truncate once
+            cov = cov.localCheckpoint(eager=False)
+            cnt = cov.groupBy("cell").agg(
+                F.ceil(F.count("*") / F.lit(max_segs_per_cell))
+                .cast("int")
+                .alias("nb")
+            )
+            cov = cov.join(cnt, "cell").withColumn(
+                "chunk", F.pmod(F.xxhash64("seg_id"), F.col("nb")).cast("int")
+            )
+            pcell = pcell.join(cnt, "cell").select(
+                pid, "lon", "lat", "cell",
+                F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("chunk"),
+            )
+            cand = pcell.join(cov, ["cell", "chunk"])
+        else:
+            cand = pcell.join(cov, "cell")
+        best = argmin(cand).localCheckpoint(eager=False)
+        if r == term:
+            resolved.append(best)  # complete candidate set: accept all
+            break
+        resolved.append(best.filter(F.col("road_dist") <= F.lit(cell_h)))
+        remaining = remaining.join(
+            resolved[-1].select(pid), on=pid, how="left_anti"
+        ).localCheckpoint(eager=False)
+    out = resolved[-1]
+    for s in resolved[:-1]:
+        out = s.unionByName(out)
+    return points.join(out, on=pid)
 
 
 def _seg_dist_cols():

@@ -107,3 +107,134 @@ def test_parcel_assign_border_fallback_and_ties(spark):
     assert abs(out.loc[1, "nn_dist"] - 0.4) < 1e-12
     # P2 sits ON a_mid == z_mid position: tie resolves to lower id
     assert out.loc[2, "anchor_id"] == "a_mid"
+
+
+# ---------------------------------------------------------------------------
+# Distributed segment-cover path (fact-sized roads)
+# ---------------------------------------------------------------------------
+
+
+def test_segments_from_lines_df_parity(spark):
+    """The distributed flatten must reproduce the driver builder exactly —
+    ids, coordinates, AND the last-non-null tag-override order (waterway <
+    highway < natural; untagged -> 'highway')."""
+    lines = pd.DataFrame([
+        {"osm_id": "w0", "highway": "residential", "waterway": None,
+         "natural": None, "geometry": [[10.0, 50.0], [10.1, 50.0], [10.1, 50.1]]},
+        {"osm_id": "w1", "highway": "primary", "waterway": "stream",
+         "natural": None, "geometry": [[10.0, 50.2], [10.2, 50.2]]},
+        {"osm_id": "w2", "highway": "x", "waterway": "y", "natural": "coast",
+         "geometry": [[10.0, 50.3], [10.2, 50.3]]},
+        {"osm_id": "w3", "highway": None, "waterway": None, "natural": None,
+         "geometry": [[10.0, 50.4], [10.2, 50.4]]},
+    ])
+    want = rangejoin.segments_from_lines(lines).sort_values("seg_id").reset_index(drop=True)
+    got = (
+        rangejoin.segments_from_lines_df(spark.createDataFrame(lines))
+        .toPandas().sort_values("seg_id").reset_index(drop=True)[want.columns]
+    )
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_segment_cover_df_parity(spark):
+    """Column-side supercover emits the IDENTICAL (cell, seg_id) set as
+    the driver pandas builder (same linspace arithmetic, same dilation),
+    on jittered general-position segments."""
+    segs = _grid_segments(6, jitter=0.4)
+    want = rangejoin.segment_cover_pdf(segs, 13)
+    got = rangejoin.segment_cover_df(spark.createDataFrame(segs), 13).toPandas()
+    sa = set(map(tuple, want[["cell", "seg_id"]].itertuples(index=False)))
+    sb = set(map(tuple, got[["cell", "seg_id"]].itertuples(index=False)))
+    assert sa == sb
+
+
+def test_distributed_join_matches_legacy_with_residue(spark):
+    """nearest_segment_join_distributed == the broadcast path row-for-row,
+    including a far outlier that is residue at the caller's resolution
+    (drained by the auto-appended coarser levels, not a cartesian)."""
+    segs = _grid_segments(4, jitter=0.3)
+    cover = rangejoin.segment_cover_pdf(segs, 13)
+    base = spark.range(0, 800, numPartitions=4)
+    lon, lat = synth.lonlat_cols(F.col("id"))
+    pts = base.select(F.col("id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
+    pts = pts.unionByName(spark.createDataFrame(
+        pd.DataFrame({"pid": [99999], "lon": [-150.0], "lat": [-70.0]})
+    ))
+    legacy = rangejoin.nearest_segment_join(pts, cover, 13)
+    dist = rangejoin.nearest_segment_join_distributed(
+        pts, spark.createDataFrame(segs), 13, point_id="pid"
+    )
+    a = sorted(map(tuple, legacy.select("pid", F.round("road_dist", 9)).collect()))
+    b = sorted(map(tuple, dist.select("pid", F.round("road_dist", 9)).collect()))
+    assert a == b and len(b) == 801
+    p = dist._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # fully JVM-side: the distributed path has no Python stage at all
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_star_junction_hot_cell_guard(spark):
+    """Degenerate skew fixture: N roads all through ONE junction point, so
+    one cell (and its ring) holds every segment. The hot-cell guard must
+    split the cell into hash chunks (bounded per-key candidate count) and
+    stay EXACT — identical output with the guard on, off, and vs the
+    legacy broadcast path."""
+    rng = np.random.default_rng(7)
+    n = 120
+    ang = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(0.02, 0.05, n)
+    jx, jy = 10.05, 50.05  # the junction
+    segs = pd.DataFrame({
+        "seg_id": [f"s{i}" for i in range(n)],
+        "ax": jx, "ay": jy,
+        "bx": jx + r * np.cos(ang), "by": jy + r * np.sin(ang),
+    })
+    base = spark.range(0, 400, numPartitions=4)
+    pts = base.select(
+        F.col("id").alias("pid"),
+        (F.lit(jx) + (F.pmod(F.col("id") * 37, F.lit(100)) - 50) / 500.0).alias("lon"),
+        (F.lit(jy) + (F.pmod(F.col("id") * 53, F.lit(100)) - 50) / 500.0).alias("lat"),
+    )
+    sdf = spark.createDataFrame(segs)
+    res = 12  # coarse enough that the junction cell holds all n segments
+    cov = rangejoin.segment_cover_df(sdf, res).toPandas()
+    hot = cov.groupby("cell").size().max()
+    assert hot == n  # the fixture IS degenerate: one cell holds every segment
+
+    cap = 16
+    guarded = rangejoin.nearest_segment_join_distributed(
+        pts, sdf, res, point_id="pid", max_segs_per_cell=cap
+    )
+    unguarded = rangejoin.nearest_segment_join_distributed(
+        pts, sdf, res, point_id="pid", max_segs_per_cell=None
+    )
+    legacy = rangejoin.nearest_segment_join(
+        pts, rangejoin.segment_cover_pdf(segs, res), res, point_id="pid"
+    )
+    g = sorted(map(tuple, guarded.select("pid", F.round("road_dist", 9)).collect()))
+    u = sorted(map(tuple, unguarded.select("pid", F.round("road_dist", 9)).collect()))
+    l = sorted(map(tuple, legacy.select("pid", F.round("road_dist", 9)).collect()))
+    assert g == u == l and len(g) == 400
+
+    # the bounded per-key property: with the guard, every (cell, chunk)
+    # join key holds ~cap segments (hash-balanced), never the full hot
+    # cell — recompute the guard's own chunking and measure the max key
+    nb = int(np.ceil(hot / cap))
+    assert nb > 1
+    key_sizes = (
+        rangejoin.segment_cover_df(sdf, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("cn"), F.collect_list("seg_id").alias("ids"))
+        .select(
+            "cell",
+            F.explode("ids").alias("seg_id"),
+            F.ceil(F.col("cn") / F.lit(cap)).cast("int").alias("nb"),
+        )
+        .withColumn("chunk", F.pmod(F.xxhash64("seg_id"), F.col("nb")))
+        .groupBy("cell", "chunk")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert key_sizes <= 3 * cap  # hash-balanced, far below the hot cell's n
