@@ -1210,7 +1210,11 @@ def _q_evt_block_hourly(spark, sf_dir):
     bucketed TableStore keyed on event_id (commit_bucketed /
     read_bucketed), so the join is exchange-free and the only shuffle
     is the final (block_id, hour) aggregation — whose key count is
-    bounded by blocks x hours, not by the fact row count."""
+    bounded by blocks x hours, not by the fact row count. That
+    production shape is demonstrated, not just promised:
+    pipeline.run_events_rollup commits both sides co-bucketed and
+    tests/test_bucketed.py pins the zero-Exchange SortMergeJoin +
+    single aggregation Exchange, row-identical to this query's plan."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
     assigned = _assigned_events_cached(spark, sf_dir).select(
         "event_id", "block_id"

@@ -46,6 +46,9 @@ REBLOCK_ALL_TABLE = "reblock_all"
 REBLOCK_TABLE = "reblock_summary"
 REBLOCK_EDGES_TABLE = "reblock_edges"
 REBLOCK_TERMINALS_TABLE = "reblock_terminals"
+EVENTS_FACT_TABLE = "events_fact"
+EVENTS_ASSIGN_TABLE = "events_assign"
+EVENTS_BUCKETS = 32
 
 
 def image_points(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
@@ -247,6 +250,77 @@ def run_pipeline(
         computed[MANIFEST_TABLE] = store.read(spark, MANIFEST_TABLE).count()
 
     return computed
+
+
+def block_hourly_rollup(events: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Spatio-temporal rollup: events x their PIP-assigned block_id,
+    aggregated into (block_id, 1-hour event-time bucket) cells — the
+    hotspot-monitoring composition of J1 with the hourly window agg
+    (contract evt_block_hourly; reference analog: the per-block summary
+    rollups of midway/single_file_complexity.py keyed on time instead).
+    Same expression tree as contract._q_evt_block_hourly so the bucketed
+    production path below is oracle-checked by proxy."""
+    return (
+        events.select("event_id", "ts", "value")
+        .join(assigned.select("event_id", "block_id"), "event_id")
+        .groupBy(
+            "block_id",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def run_events_rollup(
+    spark: SparkSession,
+    store_root: str,
+    events: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    n_buckets: int = EVENTS_BUCKETS,
+) -> DataFrame:
+    """The rollup's PRODUCTION shape (the plan contract._q_evt_block_hourly's
+    docstring promises): the events fact AND its block assignment live in
+    the TableStore as CO-BUCKETED snapshots on event_id, so the fact-sized
+    equi-join is EXCHANGE-FREE (zero-shuffle SortMergeJoin over co-located
+    buckets) and the only shuffle in the whole job is the final
+    (block_id, hour) aggregation — whose key count is bounded by
+    blocks x hours, not by the fact row count. Pinned in
+    tests/test_bucketed.py::test_evt_block_hourly_bucketed_single_exchange.
+
+    Resume semantics: a bucketed snapshot is a full rewrite, so the stage
+    is committed at most once — when a snapshot already exists it is
+    REUSED and the ``events``/``assigned`` frames may be omitted (the
+    kill-and-resume analog of the per-partition anti-join for stages whose
+    layout is a whole-fileset property)."""
+    store = TableStore(store_root)
+    ev = store.read_bucketed(spark, EVENTS_FACT_TABLE)
+    if ev is None:
+        if events is None:
+            raise ValueError(
+                f"no committed '{EVENTS_FACT_TABLE}' snapshot and no events frame"
+            )
+        store.commit_bucketed(
+            events, EVENTS_FACT_TABLE, ["event_id"], n_buckets,
+            sort_cols=["event_id"], stage=EVENTS_FACT_TABLE,
+        )
+        ev = store.read_bucketed(spark, EVENTS_FACT_TABLE)
+    asg = store.read_bucketed(spark, EVENTS_ASSIGN_TABLE)
+    if asg is None:
+        if assigned is None:
+            raise ValueError(
+                f"no committed '{EVENTS_ASSIGN_TABLE}' snapshot and no assign frame"
+            )
+        store.commit_bucketed(
+            assigned, EVENTS_ASSIGN_TABLE, ["event_id"], n_buckets,
+            sort_cols=["event_id"], stage=EVENTS_ASSIGN_TABLE,
+        )
+        asg = store.read_bucketed(spark, EVENTS_ASSIGN_TABLE)
+    return block_hourly_rollup(ev, asg)
 
 
 def main() -> None:

@@ -69,6 +69,55 @@ def test_bucketed_groupby_no_exchange(spark, store):
     assert g.count() == 20_000
 
 
+def _mk_events(spark, n):
+    return spark.range(0, n, numPartitions=8).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 701).alias("ts"),
+        (F.col("id") % 101).cast("double").alias("value"),
+    )
+
+
+def _mk_assigned(spark, n):
+    return spark.range(0, n, numPartitions=8).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("b"), (F.col("id") % 37).cast("string")).alias("block_id"),
+    )
+
+
+def test_evt_block_hourly_bucketed_single_exchange(spark, tmp_path, no_broadcast):
+    """The production evt_block_hourly plan (pipeline.run_events_rollup):
+    events fact + block assignment co-bucketed on event_id => the
+    fact-sized join is a zero-Exchange SortMergeJoin, and the ONLY
+    Exchange in the whole job is the final (block_id, hour) aggregation
+    shuffle — whose key count is blocks x hours, not fact rows."""
+    from prclz_spark import pipeline
+
+    n = 20_000
+    events, assigned = _mk_events(spark, n), _mk_assigned(spark, n)
+    root = str(tmp_path / "wh")
+    out = pipeline.run_events_rollup(spark, root, events, assigned, n_buckets=8)
+    p = _plan(out)
+    assert "SortMergeJoin" in p
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(block_id" in p, p
+
+    # query hash unchanged: row-identical to the unbucketed join+agg
+    base = pipeline.block_hourly_rollup(events, assigned)
+    key = lambda r: (r["block_id"], r["hour_bucket"])  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, base.collect()), key=lambda t: (t[0], t[1]))
+
+    # resume: both snapshots already committed — the stage reuses them
+    # without the input frames and keeps the single-Exchange plan
+    again = pipeline.run_events_rollup(spark, root)
+    assert _plan(again).count("Exchange") == 1
+    assert again.count() == out.count()
+
+    # missing snapshot + missing frame is a hard error, not a recompute
+    with pytest.raises(ValueError):
+        pipeline.run_events_rollup(spark, str(tmp_path / "empty_wh"))
+
+
 def test_bucketed_reregistration_roundtrip(spark, store):
     # simulate a fresh session by dropping the catalog entry; read_bucketed
     # must restore it from the manifest DDL and keep the no-exchange property
