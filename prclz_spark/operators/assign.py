@@ -232,6 +232,7 @@ def assign_points_to_blocks_compact(
     res_min: int,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    compacted_pdf: pd.DataFrame | None = None,
 ) -> DataFrame:
     """The H3 production shape of the two-stage PIP join: polyfill →
     compact → join the point's ANCESTOR-CELL ARRAY against the compacted
@@ -247,10 +248,19 @@ def assign_points_to_blocks_compact(
     stays in codegen); the dimension side shrinks up to 4^K on large
     aligned interiors. Worth it exactly when the cover would otherwise
     blow the broadcast budget (continent-scale AOIs at fine res) — for
-    small covers prefer the plain single-cell join."""
+    small covers prefer the plain single-cell join.
+
+    ``compacted_pdf``: a cover already passed through compact_cover_pdf
+    with the same (res, res_min) — callers that need the compacted row
+    count for stage metrics (pipeline.run_pipeline) compact once and
+    hand it in instead of paying the quadtree fold twice."""
     assert 0 <= res_min <= res, (res, res_min)
     spark = points.sparkSession
-    comp = compact_cover_pdf(cover_pdf, res, res_min)
+    comp = (
+        compacted_pdf
+        if compacted_pdf is not None
+        else compact_cover_pdf(cover_pdf, res, res_min)
+    )
     cov_df = F.broadcast(
         spark.createDataFrame(comp[["cell", "block_id", "interior"]])
     )

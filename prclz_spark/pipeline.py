@@ -91,10 +91,22 @@ def run_pipeline(
     res: int = 17,
     prefix_res: int = 6,
     lines_pdf=None,
+    res_min: int | None = None,
+    compact_cover_rows: int = 20_000,
 ) -> dict:
     """The reference's full stage chain — assign → k-complexity →
     parcelization → reblocking (SURVEY.md §3) — each stage committed
     atomically with per-partition lineage and resumable independently.
+
+    Stage 1 is size-gated between the classic single-cell cover join and
+    the compacted ancestor-array join (assign_points_to_blocks_compact):
+    when the classified cover exceeds ``compact_cover_rows`` rows, the
+    interior cells are compacted through the quadtree down to ``res_min``
+    (default res-4, floored at prefix_res) before broadcasting — the
+    production lever for continent-scale AOIs at fine res, where the flat
+    cover would blow the broadcast budget. Row-identical to the classic
+    join (pinned in tests/test_cells_compact.py); the chosen plan and both
+    cover sizes land in the assign stage's lineage metrics.
 
     Returns per-stage counts actually computed this run (0 for a fully
     resumed stage)."""
@@ -104,6 +116,8 @@ def run_pipeline(
     computed = {}
 
     # -- stage 1: spatial assign, partitioned by cell prefix ---------------
+    rmin = res_min if res_min is not None else max(prefix_res, res - 4)
+    use_compact = len(cover) > compact_cover_rows and rmin < res
     pts = image_points(spark, n_images)
     pts = pts.withColumn(
         "cell_prefix",
@@ -115,8 +129,23 @@ def run_pipeline(
     n_todo = todo.count()
     computed[ASSIGN_TABLE] = n_todo
     if n_todo > 0:
-        assigned_new = assign_op.assign_points_to_blocks(todo, cover, res)
-        store.commit(assigned_new, ASSIGN_TABLE, "cell_prefix", stage=ASSIGN_TABLE)
+        if use_compact:
+            comp = assign_op.compact_cover_pdf(cover, res, rmin)
+            assigned_new = assign_op.assign_points_to_blocks_compact(
+                todo, cover, res, rmin, compacted_pdf=comp
+            )
+            broadcast_rows = len(comp)
+        else:
+            assigned_new = assign_op.assign_points_to_blocks(todo, cover, res)
+            broadcast_rows = len(cover)
+        store.commit(
+            assigned_new, ASSIGN_TABLE, "cell_prefix", stage=ASSIGN_TABLE,
+            extra={
+                "cover_rows": len(cover),
+                "cover_broadcast_rows": broadcast_rows,
+                "cover_compacted": use_compact,
+            },
+        )
     assigned = store.read(spark, ASSIGN_TABLE)
     if assigned is None:
         # no snapshot was ever committed (n_images == 0, or every point

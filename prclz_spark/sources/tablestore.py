@@ -75,10 +75,14 @@ class TableStore:
         table: str,
         partition_col: str,
         stage: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Append ``df`` as one atomic snapshot, one data file per value of
         ``partition_col`` (repartitioned by it so each task owns whole
-        partitions), with a lineage record per partition.
+        partitions), with a lineage record per partition. ``extra`` merges
+        stage-level metrics (e.g. broadcast dimension size, plan choice)
+        into every lineage row — visible via read_lineage; metrics_df keeps
+        its fixed per-partition schema.
 
         Returns the new snapshot id. A killed job leaves data files but no
         manifest/LATEST update — invisible to readers, re-runnable."""
@@ -124,6 +128,7 @@ class TableStore:
                     "rows_out": rows,
                     "wall_ms": wall_ms,
                     "committed_at": time.time(),
+                    **(extra or {}),
                 }
             )
         # clean staging skeleton
@@ -304,8 +309,9 @@ class TableStore:
         lineage = self.read_lineage(table, snapshot_id)
         if not lineage:
             return None
+        keys = ("stage", "partition_id", "rows_out", "wall_ms", "committed_at")
         return spark.createDataFrame(
-            lineage,
+            [{k: rec.get(k) for k in keys} for rec in lineage],
             "stage string, partition_id string, rows_out long, "
             "wall_ms long, committed_at double",
         )

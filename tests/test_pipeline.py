@@ -90,6 +90,14 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     store = TableStore(root)
     total_assigned = store.read(spark, "assign").count()
     assert total_assigned == 5_000  # every point assigned exactly once
+
+    # stage-1 plan metrics: the g=4/res=17 cover (28,677 rows) crosses the
+    # compaction gate, so the broadcast side must be the compacted cover
+    # and the lineage must record both sizes + the plan choice
+    asg_lin = store.read_lineage("assign")
+    assert asg_lin and all(r["cover_compacted"] for r in asg_lin)
+    assert all(r["cover_broadcast_rows"] < r["cover_rows"] for r in asg_lin)
+    assert all(r["cover_rows"] == 28_677 for r in asg_lin)
     k_pdf = store.read(spark, "complexity").toPandas()
     assert len(k_pdf) == 16
 
@@ -160,7 +168,14 @@ def test_tablestore_metrics_df(spark, tmp_path):
     store = TableStore(str(tmp_path))
     df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 4).alias("bucket"))
     store.commit(df, "t", "bucket", stage="s1")
-    store.commit(df.filter("id < 50"), "t", "bucket", stage="s2")
+    store.commit(
+        df.filter("id < 50"), "t", "bucket", stage="s2",
+        extra={"cover_rows": 123, "cover_compacted": True},
+    )
+    # stage-level extras ride every lineage row of their commit...
+    s2 = [r for r in store.read_lineage("t") if r["stage"] == "s2"]
+    assert all(r["cover_rows"] == 123 for r in s2)
+    # ...and metrics_df keeps its fixed schema regardless
     m = store.metrics_df(spark, "t")
     assert m.count() == 8  # 4 partitions x 2 stages
     agg = {
