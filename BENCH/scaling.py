@@ -222,7 +222,18 @@ Headline absolute throughput is bench.py's protocol (see README):
 local[32], warm JVM — the per-round driver number in BENCH_r*.json is
 the one comparable across rounds.
 """
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # preserve the hand-maintained sections (cross-round replication
+        # table, 10x scale-up point) that live below the generated block
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        marker = "## Cross-round replication"
+        tail = ""
+        if os.path.exists(path):
+            old = open(path).read()
+            if marker in old:
+                tail = old[old.index(marker):]
+        if tail:
+            md = md[: md.index("Headline absolute throughput")] + tail
+        with open(path, "w") as f:
             f.write(md)
 
 
