@@ -21,7 +21,14 @@ at its own working res sees the same per-cell loads, so per-task memory
 and join fan-out here are representative even though the AOI is small).
 
 Usage:  python BENCH/segcover.py [n_segs] [n_pts]
+        python BENCH/segcover.py --xcheck [n_segs] [n_pts]
 Env:    SPARK_GRAFT_CPUS (default 32), SEGCOVER_RUNS (default 3)
+
+``--xcheck`` (default 100k segs / 200k pts): random-jittered segments,
+distributed path vs the legacy driver-built-cover path, asserted
+row-identical on round(road_dist, 9) — the 250x-scale replication of
+tests/test_rangejoin.py's 800-point equivalence fixture (run round 5:
+row-identical, 57 s at local[16]).
 """
 
 from __future__ import annotations
@@ -83,7 +90,54 @@ def _median(xs):
     return sorted(xs)[len(xs) // 2]
 
 
+def xcheck(n_segs: int = 100_000, n_pts: int = 200_000) -> None:
+    """Distributed vs legacy row-identity at random-jittered scale (the
+    scale the pytest fixture can't afford): seeded numpy segments, both
+    plans, exact compare on round(road_dist, 9)."""
+    import numpy as np
+    import pandas as pd
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark(
+        "prclz_segcover_x", master=f"local[{cpus}]", shuffle_partitions=str(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    res = 16
+    cell_h = 180.0 / (1 << res)
+    rng = np.random.default_rng(11)
+    ax = synth.AOI_LON0 + rng.uniform(0, synth.AOI_SPAN, n_segs)
+    ay = synth.AOI_LAT0 + rng.uniform(0, synth.AOI_SPAN, n_segs)
+    ang = rng.uniform(0, 2 * math.pi, n_segs)
+    ln = rng.uniform(0.3, 2.0, n_segs) * cell_h
+    segs_pdf = pd.DataFrame({
+        "seg_id": [f"s{i}" for i in range(n_segs)],
+        "ax": ax, "ay": ay,
+        "bx": ax + ln * np.cos(ang), "by": ay + ln * np.sin(ang),
+    })
+    pts = _points(spark, n_pts, cpus)
+    legacy = rangejoin.nearest_segment_join(
+        pts, rangejoin.segment_cover_pdf(segs_pdf, res), res, point_id="pid"
+    )
+    dist = rangejoin.nearest_segment_join_distributed(
+        pts, spark.createDataFrame(segs_pdf), res, point_id="pid"
+    )
+    a = (legacy.select("pid", F.round("road_dist", 9).alias("d"))
+         .toPandas().sort_values("pid").reset_index(drop=True))
+    b = (dist.select("pid", F.round("road_dist", 9).alias("d"))
+         .toPandas().sort_values("pid").reset_index(drop=True))
+    identical = bool(a.equals(b))
+    print(json.dumps({
+        "metric": "segcover_xcheck", "n_segs": n_segs, "n_pts": n_pts,
+        "res": res, "rows": len(b), "row_identical": identical,
+    }))
+    spark.stop()
+    assert identical
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--xcheck":
+        xcheck(*(int(x) for x in sys.argv[2:4]))
+        return
     n_segs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
