@@ -33,12 +33,17 @@ def _dist2(px, py, tx, ty):
 
 
 def _terminal_res(ring: int) -> int:
-    """Coarsest useful level: at res r with 2^r <= 2*ring + 1 the kRing
-    window spans the whole grid, so the candidate join is COMPLETE (every
-    target is a candidate for every point) and a level there may accept
-    its argmin unconditionally."""
+    """Coarsest useful level: at res r with 2^r <= ring + 1 the CLAMPED
+    kRing window [max(0, c-ring), min(2^r - 1, c+ring)] spans the whole
+    grid from EVERY center cell (worst case c at an edge needs
+    ring >= 2^r - 1), so the candidate join is COMPLETE (every target is
+    a candidate for every point) and a level there may accept its argmin
+    unconditionally. NOT 2*ring+1: that only covers from a centered cell
+    — an edge point's clamped window would miss the far column and the
+    terminal level would accept a non-global argmin (or drop the point
+    when all targets sit in masked cells)."""
     r = 0
-    while (1 << (r + 1)) <= 2 * ring + 1:
+    while (1 << (r + 1)) <= ring + 1:
         r += 1
     return r
 
@@ -129,6 +134,15 @@ def _cascade(
         remaining = remaining.join(
             accept.select(pid), on=pid, how="left_anti"
         ).localCheckpoint(eager=False)
+        # exhaustive-only early exit: once the residue is empty, skip the
+        # auto-appended coarser levels (each is a full candidate-build
+        # pass over the fact-sized target table). The count reads the
+        # checkpoint the next level would have materialized anyway, so
+        # it costs ~nothing; the default (broadcast) path stays fully
+        # lazy — its brute tail over an empty residue is already free.
+        if exhaustive and remaining.count() == 0:
+            remaining = None
+            break
     if remaining is None:  # exhaustive: residue empty by construction
         out = resolved[-1]
         resolved = resolved[:-1]

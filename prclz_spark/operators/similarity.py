@@ -527,17 +527,21 @@ def ivf_train(
 
 
 def _centroid_udf(spark, codebook: np.ndarray):
-    """Task-broadcast argmax-dot quantizer: one GEMM per Arrow batch
+    """Task-broadcast argmax-dot quantizer, one Arrow batch at a time
     (a 1000+-term Column expression would cost more in Catalyst analysis
     than the whole job); np.argmax breaks ties to the lower centroid id,
-    matching the SQL oracle's first-equality scan."""
+    matching the SQL oracle's first-equality scan. Scores accumulate via
+    _seq_dot — the oracle's left-associated '+' chain order — not BLAS
+    matmul, so a last-ulp difference near a score tie cannot assign a
+    corpus vector to a different list than the oracle (the corpus-side
+    twin of the probe-selection fix in ivf_topk/ivfpq_topk)."""
     bc = spark.sparkContext.broadcast(np.asarray(codebook, float))
 
     @F.pandas_udf("int")
     def cent(v: pd.Series) -> pd.Series:
         cb = bc.value
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        return pd.Series(np.argmax(mat @ cb.T, axis=1).astype(np.int32))
+        return pd.Series(np.argmax(_seq_dot(mat, cb), axis=1).astype(np.int32))
 
     # the value is fully deterministic; the mark only stops Catalyst from
     # DUPLICATING the GEMM when it splits out the join-key IsNotNull filter

@@ -103,7 +103,6 @@ def test_evt_block_hourly_bucketed_single_exchange(spark, tmp_path, no_broadcast
 
     # query hash unchanged: row-identical to the unbucketed join+agg
     base = pipeline.block_hourly_rollup(events, assigned)
-    key = lambda r: (r["block_id"], r["hour_bucket"])  # noqa: E731
     assert sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[1])) == \
         sorted(map(tuple, base.collect()), key=lambda t: (t[0], t[1]))
 

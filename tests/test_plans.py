@@ -330,3 +330,40 @@ def test_manifest_plan_single_python_eval(spark, cover):
     assert "BroadcastHashJoin" in p
     # the BPE piece count really is in the JVM projection, not a UDF
     assert "regexp_extract_all" in p
+
+
+def test_knn_terminal_res_edge_coverage(spark):
+    """Regression (round-5 review): _terminal_res must use 2^r <= ring+1
+    (clamped-window coverage from EVERY center cell), not 2*ring+1
+    (coverage from a centered cell only). With ring=2 the old terminal
+    (res 2, nx=4) masked the far column for an edge point, so the
+    exhaustive path accepted a non-global argmin (reproduced: target 20
+    at 225.06 where broadcast returns target 10 at 181.5)."""
+    import pandas as pd
+
+    from prclz_spark.operators.knn import _terminal_res
+
+    # coverage law: from every center c on a 2^r axis, the clamped
+    # window [max(0, c-ring), min(nx-1, c+ring)] spans the whole axis
+    for ring in range(1, 9):
+        nx = 1 << _terminal_res(ring)
+        assert all(
+            max(0, c - ring) == 0 and min(nx - 1, c + ring) == nx - 1
+            for c in range(nx)
+        ), (ring, nx)
+
+    tgt = spark.createDataFrame(pd.DataFrame(
+        {"target_id": [10, 20], "tx": [-90.5, -89.9], "ty": [89.0, -44.9]}
+    ))
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"image_id": [1], "lon": [91.0], "lat": [89.0]}
+    ))
+    a = knn.knn_join(pts, tgt, 14, target_id="target_id", ring=2)
+    b = knn.knn_join(
+        pts, tgt, 14, target_id="target_id", ring=2, broadcast_targets=False
+    )
+    ra = sorted(map(tuple, a.select(
+        "image_id", "target_id", F.round("nn_dist", 9)).collect()))
+    rb = sorted(map(tuple, b.select(
+        "image_id", "target_id", F.round("nn_dist", 9)).collect()))
+    assert ra == rb and len(rb) == 1 and rb[0][1] == 10

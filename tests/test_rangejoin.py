@@ -127,6 +127,12 @@ def test_segments_from_lines_df_parity(spark):
          "geometry": [[10.0, 50.3], [10.2, 50.3]]},
         {"osm_id": "w3", "highway": None, "waterway": None, "natural": None,
          "geometry": [[10.0, 50.4], [10.2, 50.4]]},
+        # degenerate: 1-vertex and null geometry must yield ZERO segments
+        # (not a sequence(0,-1) element_at crash), like the pandas twin
+        {"osm_id": "w4", "highway": "residential", "waterway": None,
+         "natural": None, "geometry": [[10.0, 50.5]]},
+        {"osm_id": "w5", "highway": "residential", "waterway": None,
+         "natural": None, "geometry": None},
     ])
     want = rangejoin.segments_from_lines(lines).sort_values("seg_id").reset_index(drop=True)
     got = (
