@@ -163,12 +163,14 @@ def main() -> None:
 
     j_walls = []
     for _ in range(runs):
-        # rebuild per run: the cascade localCheckpoints its levels, so a
-        # reused frame would time cached reads, not the join
+        # rebuild per run AND time construction + count together: the
+        # cascade localCheckpoints its levels and its empty-residue
+        # early-exit counts run at construction time, so a reused frame
+        # (or a count-only timer) would measure cached reads, not the join
+        t0 = time.perf_counter()
         nn = rangejoin.nearest_segment_join_distributed(
             _points(spark, n_pts, parts), segs, RES, point_id="pid"
         )
-        t0 = time.perf_counter()
         nn_rows = nn.count()
         j_walls.append(time.perf_counter() - t0)
     sig = _signature(nn)
